@@ -1,0 +1,52 @@
+"""Homography algebra and image warps.
+
+Host helpers are numpy float64 (applied to small point sets); the dense warp
+delegates to the JAX resampler in :mod:`s2p_tpu.ops.interp`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def matrix_translation(x, y):
+    """3x3 translation matrix (parity: reference common.py:97-101)."""
+    t = np.eye(3)
+    t[0, 2] = x
+    t[1, 2] = y
+    return t
+
+
+def points_apply_homography(H, pts):
+    """Apply a 3x3 homography to an (n, 2) list of points.
+
+    Parity: reference common.py:183-211.
+    """
+    pts = np.asarray(pts, dtype=np.float64)
+    if pts.ndim == 1:
+        pts = pts[None, :]
+    ones = np.ones((len(pts), 1))
+    hp = np.hstack([pts[:, :2], ones]) @ np.asarray(H, dtype=np.float64).T
+    return hp[:, :2] / hp[:, 2:3]
+
+
+def bounding_box2D(pts):
+    """(xmin, ymin, width, height) of a point list (common.py:214-221)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    mins = pts.min(axis=0)
+    maxs = pts.max(axis=0)
+    return mins[0], mins[1], maxs[0] - mins[0], maxs[1] - mins[1]
+
+
+def image_apply_homography(img, H, w, h, order=3):
+    """Warp an image array under homography H to a (h, w) output.
+
+    out(x) = img(H^-1 x) -- the in-memory equivalent of the reference's
+    ``homography`` binary invocation (common.py:159-180).
+    """
+    import numpy as np
+    from .interp import warp_homography
+    hinv = np.linalg.inv(np.asarray(H, dtype=np.float64))
+    out = warp_homography(np.asarray(img, dtype=np.float32),
+                          hinv.astype(np.float32), int(w), int(h), order=order)
+    return np.asarray(out)

@@ -1,0 +1,107 @@
+"""Image resampling primitives (JAX, jittable).
+
+These are the TPU replacements of the reference's resamplers: the
+``homography`` binary (bicubic warp of the full-size images,
+/root/reference/s2p/common.py:159-180) and scipy ``affine_transform`` calls.
+
+Sampling convention: integer coordinates land on pixel centers (same as the
+reference C code).  Samples whose 4x4 (bicubic) / 2x2 (bilinear) support
+leaves the image domain return NaN, so downstream validity masks can be
+derived with isfinite just like the reference plambda pipelines.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather2d(img, iy, ix):
+    """img[iy, ix] with indices clipped to the valid range."""
+    h, w = img.shape
+    iy = jnp.clip(iy, 0, h - 1)
+    ix = jnp.clip(ix, 0, w - 1)
+    return img[iy, ix]
+
+
+def bilinear_sample(img, xs, ys, fill_value=jnp.nan):
+    """Bilinear sample of img at float coords (xs, ys); NaN outside."""
+    img = jnp.asarray(img)
+    h, w = img.shape
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    fx = xs - x0
+    fy = ys - y0
+    v00 = _gather2d(img, y0, x0)
+    v01 = _gather2d(img, y0, x0 + 1)
+    v10 = _gather2d(img, y0 + 1, x0)
+    v11 = _gather2d(img, y0 + 1, x0 + 1)
+    out = (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
+           + v10 * fy * (1 - fx) + v11 * fy * fx)
+    inside = (xs >= 0) & (ys >= 0) & (xs <= w - 1) & (ys <= h - 1)
+    return jnp.where(inside, out, fill_value)
+
+
+def _cubic_weights(t):
+    """Keys cubic convolution weights (a = -0.5, Catmull-Rom) for offsets
+    (-1, 0, 1, 2) given the fractional position t in [0, 1)."""
+    t2 = t * t
+    t3 = t2 * t
+    w_m1 = -0.5 * t3 + t2 - 0.5 * t
+    w_0 = 1.5 * t3 - 2.5 * t2 + 1.0
+    w_p1 = -1.5 * t3 + 2.0 * t2 + 0.5 * t
+    w_p2 = 0.5 * t3 - 0.5 * t2
+    return w_m1, w_0, w_p1, w_p2
+
+
+def bicubic_sample(img, xs, ys, fill_value=jnp.nan):
+    """Bicubic (Catmull-Rom) sample of img at float coords; NaN outside.
+
+    The reference warps with the ``homography`` binary's bicubic interpolation
+    (common.py:159); Catmull-Rom is the standard choice for imaging and keeps
+    the same support (4x4).
+    """
+    img = jnp.asarray(img)
+    h, w = img.shape
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    fx = xs - x0
+    fy = ys - y0
+    wx = _cubic_weights(fx)
+    wy = _cubic_weights(fy)
+
+    out = jnp.zeros_like(xs, dtype=img.dtype)
+    for j, wyj in enumerate(wy):
+        row = jnp.zeros_like(out)
+        for i, wxi in enumerate(wx):
+            row = row + wxi * _gather2d(img, y0 + j - 1, x0 + i - 1)
+        out = out + wyj * row
+    inside = (xs >= 1) & (ys >= 1) & (xs <= w - 2) & (ys <= h - 2)
+    return jnp.where(inside, out, fill_value)
+
+
+@functools.partial(jax.jit, static_argnames=('out_w', 'out_h', 'order'))
+def warp_homography(img, hinv, out_w, out_h, order=3):
+    """Resample ``img`` under a homography: out(x) = img(hinv @ x).
+
+    Args:
+        img: (H, W) source image.
+        hinv: 3x3 INVERSE homography (maps output coords to source coords).
+        out_w, out_h: output size (static).
+        order: 1 (bilinear) or 3 (bicubic).
+
+    Replaces the ``homography`` subprocess warp (common.py:159-180); pixels
+    whose source footprint exits the image are NaN.
+    """
+    ys, xs = jnp.mgrid[0:out_h, 0:out_w].astype(img.dtype if
+                                                jnp.issubdtype(img.dtype, jnp.floating)
+                                                else jnp.float32)
+    z = hinv[2, 0] * xs + hinv[2, 1] * ys + hinv[2, 2]
+    sx = (hinv[0, 0] * xs + hinv[0, 1] * ys + hinv[0, 2]) / z
+    sy = (hinv[1, 0] * xs + hinv[1, 1] * ys + hinv[1, 2]) / z
+    imgf = img.astype(sx.dtype)
+    if order == 1:
+        return bilinear_sample(imgf, sx, sy)
+    return bicubic_sample(imgf, sx, sy)
