@@ -1,0 +1,161 @@
+"""Dense stereo matching dispatch.
+
+The reference dispatches to 10 external correlator binaries by name
+(/root/reference/s2p/block_matching.py); here every matcher is an in-process
+JAX engine sharing the census/SGM core:
+
+  * 'mgm'          -- census + 8-direction semi-global aggregation
+                      (the reference default; env-var contract at
+                      block_matching.py:155-188),
+  * 'mgm_multi'    -- multiscale cascade: a coarse pass restricts the
+                      disparity range of the fine pass; adds the speckle
+                      filter (REMOVESMALLCC) like the reference invocation,
+  * 'sgbm'         -- SGM with the OpenCV-style parameterization
+                      (win 3, P1 8, P2 32; block_matching.py:116-134),
+  * 'tvl1'         -- TV-L1 optical-flow disparity
+                      (:mod:`s2p_tpu.ops.tvl1`),
+  * 'msmw'         -- multi-scale multi-window ZNCC correlation
+                      (:mod:`s2p_tpu.ops.msmw`).
+
+Range clamping, rounding, and the MaxDisparityRangeError guard follow the
+reference exactly (block_matching.py:61-84).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import Config
+from ..ops.morphology import remove_small_disparity_speckles
+from ..ops.sgm import SgmParams, match_pair
+
+
+class MaxDisparityRangeError(Exception):
+    pass
+
+
+def _sgm_params_from_cfg(cfg: Config, multi: bool) -> SgmParams:
+    mult = cfg.stereo_regularity_multiplier
+    return SgmParams(
+        census_win=cfg.census_ncc_win,
+        p1=8.0 * mult,
+        p2=32.0 * mult,
+        nb_dir=cfg.mgm_nb_directions,
+        subpix='vfit',
+        median=True,
+        lr_tau=cfg.mgm_leftright_threshold,
+        lr_enabled=cfg.mgm_leftright_control != 0,
+        speckle_min_area=cfg.stereo_speckle_filter if multi else 0,
+    )
+
+
+def _downsample2(img):
+    """2x box downsample propagating NaNs conservatively."""
+    h, w = img.shape
+    h2, w2 = h // 2, w // 2
+    v = img[:h2 * 2, :w2 * 2].reshape(h2, 2, w2, 2)
+    return np.nanmean(np.nanmean(v, axis=3), axis=1)
+
+
+def compute_disparity_map(cfg: Config, im1, im2, disp_min=None, disp_max=None,
+                          algo=None, max_disp_range=None):
+    """Run the configured matcher on a rectified pair.
+
+    Args:
+        im1, im2: rectified pair (2D float arrays, NaN outside the domain).
+        disp_min, disp_max: disparity search bounds.
+
+    Returns:
+        (disp, mask, confidence): float32 disparity (NaN invalid), uint8
+        validity mask (0 rejected / 1 accepted -- the reference's
+        create_rejection_mask contract, block_matching.py:18-32), and a
+        float32 confidence map (None for matchers without one).
+    """
+    algo = algo or cfg.matching_algorithm
+    im1 = np.asarray(im1, dtype=np.float32)
+    im2 = np.asarray(im2, dtype=np.float32)
+
+    # clamp the disparity range to the image width (block_matching.py:61-68)
+    if disp_min is not None and disp_max is not None:
+        width = im1.shape[1]
+        if disp_max - disp_min > width:
+            center = 0.5 * (disp_min + disp_max)
+            disp_min = int(center - 0.5 * width)
+            disp_max = int(center + 0.5 * width)
+    if disp_min is not None:
+        disp_min = int(np.floor(disp_min))
+    if disp_max is not None:
+        disp_max = int(np.ceil(disp_max))
+
+    max_disp_range = max_disp_range if max_disp_range is not None else cfg.max_disp_range
+    if max_disp_range is not None and disp_max - disp_min > max_disp_range:
+        raise MaxDisparityRangeError(
+            'Disparity range [{}, {}] greater than {}'.format(
+                disp_min, disp_max, max_disp_range))
+
+    if algo == 'mgm':
+        params = _sgm_params_from_cfg(cfg, multi=False)
+        disp, valid, conf = match_pair(im1, im2, disp_min, disp_max, params)
+    elif algo in ('mgm_multi', 'mgm_multi_lsd'):
+        params = _sgm_params_from_cfg(cfg, multi=True)
+        if algo == 'mgm_multi_lsd':
+            params = SgmParams(**{**params.__dict__,
+                                  'p1': 12.0 * cfg.stereo_regularity_multiplier,
+                                  'p2': 48.0 * cfg.stereo_regularity_multiplier})
+        disp, valid, conf = _match_multiscale(im1, im2, disp_min, disp_max, params)
+        if params.speckle_min_area:
+            valid = remove_small_disparity_speckles(
+                np.nan_to_num(disp), valid, params.speckle_min_area, tol=1.0)
+            disp = np.where(valid, disp, np.nan)
+    elif algo == 'sgbm':
+        params = SgmParams(census_win=3, p1=8.0, p2=32.0, nb_dir=8,
+                           subpix='parabola', median=False, lr_tau=1.0,
+                           lr_enabled=True)
+        disp, valid, conf = match_pair(im1, im2, disp_min, disp_max, params)
+        conf = None
+    elif algo == 'tvl1':
+        from ..ops import tvl1
+        disp, valid = tvl1.disparity(im1, im2)
+        conf = None
+    elif algo in ('msmw', 'msmw2', 'msmw3'):
+        from ..ops import msmw
+        disp, valid = msmw.disparity(im1, im2, disp_min, disp_max)
+        conf = None
+    else:
+        raise NotImplementedError(f'unknown matching algorithm {algo!r}')
+
+    # rejection-mask contract: matched AND finite in both input images
+    # (block_matching.py:18-32 plambda/backflow pipeline, done in-process)
+    mask = valid & np.isfinite(im1)
+    xs = np.arange(im1.shape[1])[None, :] + np.nan_to_num(disp)
+    xs_i = np.clip(np.round(xs).astype(np.int64), 0, im2.shape[1] - 1)
+    im2_pull = np.take_along_axis(im2, xs_i, axis=1)
+    mask &= np.isfinite(im2_pull)
+    disp = np.where(mask, disp, np.nan)
+    return disp.astype(np.float32), mask.astype(np.uint8), conf
+
+
+def _match_multiscale(im1, im2, disp_min, disp_max, params: SgmParams,
+                      max_fine_range=64):
+    """Two-level coarse-to-fine cascade (mgm_multi '-S' behavior, expressed
+    as a range-restriction pyramid: the coarse disparity histogram bounds
+    the fine search range)."""
+    D = disp_max - disp_min + 1
+    if D <= max_fine_range or min(im1.shape) < 64:
+        return match_pair(im1, im2, disp_min, disp_max, params)
+
+    c1 = _downsample2(im1)
+    c2 = _downsample2(im2)
+    cd_min = int(np.floor(disp_min / 2)) - 1
+    cd_max = int(np.ceil(disp_max / 2)) + 1
+    cdisp, cvalid, _ = _match_multiscale(c1, c2, cd_min, cd_max, params,
+                                         max_fine_range)
+    good = cvalid.astype(bool) & np.isfinite(cdisp)
+    if good.sum() < 50:
+        return match_pair(im1, im2, disp_min, disp_max, params)
+    lo, hi = np.percentile(2.0 * cdisp[good], [1, 99])
+    fine_min = max(disp_min, int(np.floor(lo)) - 4)
+    fine_max = min(disp_max, int(np.ceil(hi)) + 4)
+    if fine_max <= fine_min:
+        fine_min, fine_max = disp_min, disp_max
+    return match_pair(im1, im2, fine_min, fine_max, params)

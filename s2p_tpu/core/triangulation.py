@@ -1,0 +1,243 @@
+"""Disparity-to-3D triangulation on device.
+
+The TPU-native replacement of the reference's C kernel ``disp_to_h.so``
+(/root/reference/c/disp_to_h.c + c/rpc.c): the per-pixel chain
+
+    rectified pixel --H1^-1--> full-image pixel --+disparity, H2^-1-->
+    secondary pixel --two-ray altitude solve--> (lon, lat, alt) + error
+
+is expressed as a single jitted array program over the whole disparity map
+(vmapped Newton/secant solvers from :mod:`s2p_tpu.geo.rpc`), instead of a
+scalar C loop.  Float32 is sufficient on device because all pixel
+coordinates are re-centered to the tile origin before the solve and the RPC
+math runs in normalized space; the CRS conversion to the output UTM frame
+runs host-side in float64.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..geo import crs as crsmod
+from ..geo.rpc import (RpcParams, localize_jax, triangulate_height_jax)
+
+
+def _recenter_params(params: RpcParams, dx, dy, dtype=np.float32) -> RpcParams:
+    """Shift the image-space offsets so pixel coordinates become tile-local.
+
+    Keeps all values O(1e3) so the float32 device solve loses no precision
+    on large satellite frames (reference works in f64 full-frame coords).
+    """
+    p = params.astype(np.float64)
+    p = p._replace(col_offset=p.col_offset - dx, row_offset=p.row_offset - dy)
+    return p.astype(dtype)
+
+
+@functools.lru_cache(maxsize=1)
+def _triangulate_grid_jit():
+    import jax
+    return jax.jit(_triangulate_grid_impl)
+
+
+def _triangulate_grid(*args):
+    return _triangulate_grid_jit()(*args)
+
+
+def _triangulate_grid_impl(disp_x, disp_y, valid, h1_inv, h2_inv,
+                           rpc1: RpcParams, rpc2: RpcParams):
+    """Jitted core: rectified disparities -> (lon, lat, alt, err).
+
+    Args:
+        disp_x, disp_y: (h, w) disparity components (rectified frame).
+        valid: (h, w) bool mask of pixels to triangulate.
+        h1_inv, h2_inv: 3x3 inverse rectifying homographies mapping rectified
+            coords to (re-centered) full-image coords.
+        rpc1, rpc2: re-centered RPC params (same frame as h*_inv outputs).
+
+    Returns:
+        lon, lat, alt, err, px, py: per-pixel geographic coords, altitude,
+        reprojection error, and the re-centered image-1 coords of each pixel.
+    """
+    import jax.numpy as jnp
+
+    h, w = disp_x.shape
+    dt = disp_x.dtype
+    rows, cols = jnp.mgrid[0:h, 0:w]
+    cols = cols.astype(dt)
+    rows = rows.astype(dt)
+
+    def apply_h(m, x, y):
+        z = m[2, 0] * x + m[2, 1] * y + m[2, 2]
+        return ((m[0, 0] * x + m[0, 1] * y + m[0, 2]) / z,
+                (m[1, 0] * x + m[1, 1] * y + m[1, 2]) / z)
+
+    px, py = apply_h(h1_inv, cols, rows)
+    qx, qy = apply_h(h2_inv, cols + disp_x, rows + disp_y)
+
+    alt, err = triangulate_height_jax(rpc1, rpc2, px, py, qx, qy)
+    lon, lat = localize_jax(rpc1, px, py, alt)
+
+    nan = jnp.asarray(jnp.nan, dt)
+    lon = jnp.where(valid, lon, nan)
+    lat = jnp.where(valid, lat, nan)
+    alt = jnp.where(valid, alt, nan)
+    err = jnp.where(valid, err, nan)
+    return lon, lat, alt, err, px, py
+
+
+def disp_to_xyz(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx, mask_orig,
+                A=None, out_crs=None, disp_y=None):
+    """Triangulate a rectified disparity map into a 3D coordinate grid.
+
+    Mirrors the reference API (triangulation.py:85-162 driving
+    disp_to_h.c:70-140): returns (xyz, err) where xyz has shape (h, w, 3) in
+    ``out_crs`` (or lon/lat/alt when None) and err is the two-ray
+    reprojection distance in pixels.
+
+    Args:
+        rpc1, rpc2: RPCModel cameras.
+        H1, H2: rectifying homographies (full-image frame).
+        disp: (h, w) horizontal disparity map (NaN = invalid).
+        mask_rect: (h, w) rectified-domain validity mask.
+        img_bbx: (col_min, col_max, row_min, row_max) in the full image.
+        mask_orig: original-domain validity mask covering the bbx area.
+        A: optional pointing correction applied to image 2.
+        out_crs: CRS for the output coordinates.
+    """
+    import jax.numpy as jnp
+
+    disp = np.asarray(disp, dtype=np.float32)
+    h, w = disp.shape
+    if A is not None:  # fold the pointing correction into H2 (reference :119)
+        H2 = np.asarray(H2, dtype=np.float64) @ np.linalg.inv(np.asarray(A))
+
+    col_min, col_max, row_min, row_max = [float(v) for v in img_bbx]
+
+    # recenter everything at the bbx origin for f32 safety
+    T = np.array([[1, 0, -col_min], [0, 1, -row_min], [0, 0, 1]], dtype=np.float64)
+    h1_inv = np.linalg.inv(np.asarray(H1, dtype=np.float64))
+    h2_inv = np.linalg.inv(np.asarray(H2, dtype=np.float64))
+    rpc1_rc = _recenter_params(rpc1.params(), col_min, row_min)
+    rpc2_rc = _recenter_params(rpc2.params(), col_min, row_min)
+    h1_inv_rc = (T @ h1_inv).astype(np.float32)
+    h2_inv_rc = (T @ h2_inv).astype(np.float32)
+
+    dx = disp
+    dy = np.zeros_like(disp) if disp_y is None else np.asarray(disp_y, np.float32)
+    base_valid = np.isfinite(dx) & (np.asarray(mask_rect) != 0)
+
+    lon, lat, alt, err, px, py = _triangulate_grid(
+        jnp.asarray(np.nan_to_num(dx)), jnp.asarray(np.nan_to_num(dy)),
+        jnp.asarray(base_valid), jnp.asarray(h1_inv_rc), jnp.asarray(h2_inv_rc),
+        _to_jax(rpc1_rc), _to_jax(rpc2_rc))
+
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    alt = np.asarray(alt, dtype=np.float64)
+    err = np.asarray(err, dtype=np.float32)
+    px = np.asarray(px)
+    py = np.asarray(py)
+
+    # original-image-domain tests (disp_to_h.c:108-123), done host-side on the
+    # already-computed grids: bounding box + original mask lookup
+    rpx = np.round(px)
+    rpy = np.round(py)
+    inside = (rpx >= 0) & (rpx <= col_max - col_min) \
+        & (rpy >= 0) & (rpy <= row_max - row_min)
+    mask_orig = np.asarray(mask_orig)
+    hh, ww = mask_orig.shape
+    ix = np.clip(rpx.astype(np.int64), 0, ww - 1)
+    iy = np.clip(rpy.astype(np.int64), 0, hh - 1)
+    mask_ok = np.where((rpx < ww) & (rpy < hh), mask_orig[iy, ix] != 0, True)
+    valid = base_valid & inside & mask_ok
+
+    lon[~valid] = np.nan
+    lat[~valid] = np.nan
+    alt[~valid] = np.nan
+    err[~valid] = np.nan
+
+    # CRS conversion (host, f64)
+    if out_crs is not None and crsmod.CRS(out_crs) != crsmod.CRS(4979):
+        x, y, z = crsmod.transform(lon.ravel(), lat.ravel(), 4979,
+                                   out_crs, alt.ravel())
+        xyz = np.stack([x.reshape(h, w), y.reshape(h, w), z.reshape(h, w)], axis=-1)
+    else:
+        xyz = np.stack([lon, lat, alt], axis=-1)
+    return xyz, err
+
+
+def _to_jax(params: RpcParams):
+    import jax.numpy as jnp
+    return RpcParams(*[jnp.asarray(f) for f in params])
+
+
+def stereo_corresp_to_xyz(rpc1, rpc2, pts1, pts2, out_crs=None):
+    """Triangulate explicit keypoint correspondences (reference :220-275)."""
+    import jax.numpy as jnp
+
+    pts1 = np.asarray(pts1, dtype=np.float64)
+    pts2 = np.asarray(pts2, dtype=np.float64)
+    cx = pts1[:, 0].mean()
+    cy = pts1[:, 1].mean()
+    r1 = _recenter_params(rpc1.params(), cx, cy)
+    r2 = _recenter_params(rpc2.params(), cx, cy)
+    xa = jnp.asarray(pts1[:, 0] - cx, dtype=jnp.float32)
+    ya = jnp.asarray(pts1[:, 1] - cy, dtype=jnp.float32)
+    xb = jnp.asarray(pts2[:, 0] - cx, dtype=jnp.float32)
+    yb = jnp.asarray(pts2[:, 1] - cy, dtype=jnp.float32)
+    alt, err = triangulate_height_jax(_to_jax(r1), _to_jax(r2), xa, ya, xb, yb)
+    lon, lat = localize_jax(_to_jax(r1), xa, ya, alt)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    alt = np.asarray(alt, dtype=np.float64)
+    if out_crs is not None and crsmod.CRS(out_crs) != crsmod.CRS(4979):
+        x, y, z = crsmod.transform(lon, lat, 4979, out_crs, alt)
+        return np.column_stack([x, y, z]), np.asarray(err)
+    return np.column_stack([lon, lat, alt]), np.asarray(err)
+
+
+def height_map_to_xyz(heights, rpc, off_x=0, off_y=0, out_crs=None):
+    """Localize a height map sampled on the original image grid
+    (reference triangulation.py:165-217)."""
+    h_map = np.asarray(heights, dtype=np.float64)
+    h, w = h_map.shape
+    rows, cols = np.mgrid[0:h, 0:w]
+    lon = np.full_like(h_map, np.nan)
+    lat = np.full_like(h_map, np.nan)
+    m = np.isfinite(h_map)
+    if m.any():
+        lo, la = rpc.localization(cols[m] + off_x, rows[m] + off_y, h_map[m])
+        lon[m] = lo
+        lat[m] = la
+    if out_crs is not None and crsmod.CRS(out_crs) != crsmod.CRS(4979):
+        x, y, z = crsmod.transform(lon.ravel(), lat.ravel(), 4979,
+                                   out_crs, h_map.ravel())
+        return np.stack([x.reshape(h, w), y.reshape(h, w), z.reshape(h, w)], -1)
+    return np.stack([lon, lat, h_map], axis=-1)
+
+
+def height_map(x, y, w, h, rpc1, rpc2, H1, H2, disp, mask, mask_orig, A=None):
+    """Altitude map resampled onto the original reference image grid
+    (reference triangulation.py:346-389)."""
+    from scipy import ndimage
+
+    p = 1  # padding to avoid border effects when resampling
+    xyz, err = disp_to_xyz(rpc1, rpc2, H1, H2, disp, mask,
+                           img_bbx=(x - p, x + w + 2 * p, y - p, y + h + 2 * p),
+                           mask_orig=np.pad(np.asarray(mask_orig), p,
+                                            constant_values=1),
+                           A=A, out_crs=None)
+    hmap = xyz[:, :, 2]
+
+    T = np.array([[1, 0, x], [0, 1, y], [0, 0, 1]], dtype=np.float64)
+    H = np.asarray(H1, dtype=np.float64) @ T
+    out = ndimage.affine_transform(np.nan_to_num(hmap).T, H,
+                                   output_shape=(w, h), order=1).T
+    if np.isnan(hmap).any():
+        i = ndimage.affine_transform(np.isnan(hmap).T, H,
+                                     output_shape=(w, h), order=0).T
+        i = ndimage.binary_dilation(i, structure=np.ones((3, 3)))
+        out[i] = np.nan
+    return out

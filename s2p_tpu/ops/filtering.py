@@ -1,0 +1,109 @@
+"""3D outlier filtering of gridded point clouds.
+
+Replaces the C routines ``count_3d_neighbors`` / ``remove_isolated_3d_points``
+(/root/reference/c/disp_to_h.c:152-230) with array programs:
+
+  * neighbor counting is a stencil reduction (jittable, runs on device),
+  * the reject-then-rescue pass of the reference (a data-dependent flood
+    loop) becomes a bounded iterative dilate-and-test -- a documented
+    semantic variant (SURVEY.md section 7.6): each iteration un-rejects
+    rejected points that touch a kept close neighbor, until fixpoint or the
+    iteration cap.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+
+def _count_neighbors_jax(xyz, r, p):
+    import jax.numpy as jnp
+
+    x = xyz[..., 0]
+    y = xyz[..., 1]
+    z = xyz[..., 2]
+    h, w = x.shape
+    big = jnp.asarray(jnp.inf, x.dtype)
+    xp = jnp.pad(x, p, constant_values=big)
+    yp = jnp.pad(y, p, constant_values=big)
+    zp = jnp.pad(z, p, constant_values=big)
+    count = jnp.zeros_like(x, dtype=jnp.int32)
+    r2 = r * r
+    for dy in range(2 * p + 1):
+        for dx in range(2 * p + 1):
+            d2 = ((xp[dy:dy + h, dx:dx + w] - x) ** 2
+                  + (yp[dy:dy + h, dx:dx + w] - y) ** 2
+                  + (zp[dy:dy + h, dx:dx + w] - z) ** 2)
+            count = count + (d2 < r2).astype(jnp.int32)
+    return count
+
+
+@functools.lru_cache(maxsize=4)
+def _count_jit(r, p):
+    import jax
+    return jax.jit(lambda xyz: _count_neighbors_jax(xyz, r, p))
+
+
+def count_3d_neighbors(xyz, r, p):
+    """Number of 3D points within distance r in a (2p+1)^2 pixel window.
+
+    Parity: reference disp_to_h.c:152-175 (the center point counts itself,
+    like the C loop does).  NaN points yield count 0.
+    """
+    xyz32 = np.nan_to_num(np.asarray(xyz, dtype=np.float32), nan=np.inf)
+    out = np.asarray(_count_jit(float(r), int(p))(xyz32))
+    out[~np.isfinite(xyz).all(axis=-1)] = 0
+    return out
+
+
+def remove_isolated_3d_points(xyz, r, p, n, q=1, max_rescue_iters=64):
+    """NaN-out (in place) points with < n neighbors, with rescue.
+
+    A point is rejected when it has fewer than ``n`` 3D neighbors within
+    ``r`` units inside a (2p+1)^2 window; rejected points adjacent (within a
+    (2q+1)^2 window) to a kept point closer than ``r`` are rescued, and
+    rescues propagate iteratively (reference disp_to_h.c:177-230; the
+    reference iterates to fixpoint, here capped at ``max_rescue_iters``
+    sweeps which is equivalent for any realistic tile).
+    """
+    xyz = np.asarray(xyz)
+    valid = np.isfinite(xyz).all(axis=-1)
+    count = count_3d_neighbors(xyz, r, p)
+    rejected = valid & (count < n)
+
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    h, w = x.shape
+    r2 = r * r
+    pads = [(dy, dx) for dy in range(-q, q + 1) for dx in range(-q, q + 1)
+            if (dy, dx) != (0, 0)]
+
+    def shifted(a, dy, dx, fill):
+        out = np.full_like(a, fill)
+        ys0, ys1 = max(dy, 0), min(h + dy, h)
+        xs0, xs1 = max(dx, 0), min(w + dx, w)
+        out[ys0:ys1, xs0:xs1] = a[ys0 - dy:ys1 - dy, xs0 - dx:xs1 - dx]
+        return out
+
+    for _ in range(max_rescue_iters):
+        kept = valid & ~rejected
+        rescued = np.zeros_like(rejected)
+        for dy, dx in pads:
+            nk = shifted(kept, dy, dx, False)
+            d2 = ((shifted(x, dy, dx, np.inf) - x) ** 2
+                  + (shifted(y, dy, dx, np.inf) - y) ** 2
+                  + (shifted(z, dy, dx, np.inf) - z) ** 2)
+            rescued |= rejected & nk & (d2 < r2)
+        if not rescued.any():
+            break
+        rejected &= ~rescued
+
+    xyz[rejected] = np.nan
+    return xyz
+
+
+def filter_xyz(xyz, r, n, img_gsd):
+    """Radius/count outlier filter (reference triangulation.py:346-365)."""
+    p = int(np.ceil(r / img_gsd))
+    return remove_isolated_3d_points(xyz, r, p, n)

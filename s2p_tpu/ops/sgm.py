@@ -1,0 +1,240 @@
+"""Semi-global matching: multi-direction path aggregation on TPU.
+
+The compute core of the pipeline -- the TPU-native equivalent of the mgm
+binary the reference shells out to (More Global Matching, Facciolo BMVC'15;
+invocation contract at /root/reference/s2p/block_matching.py:155-188).
+
+Design (TPU-first, cf. SURVEY.md section 7.5):
+  * the cost volume (H, W, D) keeps disparity as the innermost, vectorized
+    lane dimension (D padded to lane multiples by the caller);
+  * each aggregation direction is a ``lax.scan`` along rows or columns whose
+    per-step body does the O(D) min-convolution on a (W, D) or (H, D) slab
+    -- fully vectorized VPU work; diagonal directions reuse the row scan
+    with a per-step lateral shift of the carry;
+  * disparity selection (WTA), vfit subpixel, median filter, left-right
+    consistency and consensus confidence are fused elementwise stages.
+
+Differences from the mgm binary (documented variants):
+  * MGM's 2-neighbor recursion couples the scan direction with the previous
+    raster row, a wavefront dependency that serializes on vector hardware;
+    this engine aggregates the 8 classic SGM directions independently
+    (the tMGM study, PAPERS.md, measures the accuracy gap as small);
+  * the left-right test derives the right-reference disparity from the same
+    aggregated volume instead of re-running the matcher.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .census import census_cost_volume
+
+_DIRS_8 = ((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (-1, -1), (1, -1), (-1, 1))
+
+
+@dataclasses.dataclass(frozen=True)
+class SgmParams:
+    """Aggregation parameters (defaults = the reference's mgm invocation)."""
+    census_win: int = 5
+    p1: float = 8.0
+    p2: float = 32.0
+    nb_dir: int = 8
+    subpix: str = 'vfit'        # 'vfit', 'parabola' or 'none'
+    median: bool = True         # MEDIAN=1 3x3 median filter
+    lr_tau: float = 1.0         # TESTLRRL_TAU
+    lr_enabled: bool = True     # TESTLRRL
+    speckle_min_area: int = 0   # REMOVESMALLCC (0 = off)
+
+
+def _min_convolution(L, p1, p2):
+    """SGM penalty term from a predecessor cost row: (N, D) -> (N, D).
+
+    min(L[d], L[d-1]+P1, L[d+1]+P1, min_d L + P2) - min_d L
+    """
+    big = jnp.asarray(jnp.inf, L.dtype)
+    lm = jnp.concatenate([jnp.full_like(L[:, :1], big), L[:, :-1]], axis=1)
+    lp = jnp.concatenate([L[:, 1:], jnp.full_like(L[:, :1], big)], axis=1)
+    m = jnp.min(L, axis=1, keepdims=True)
+    return jnp.minimum(jnp.minimum(L, jnp.minimum(lm, lp) + p1), m + p2) - m
+
+
+def _scan_pass(cost, dx, dy, p1, p2):
+    """One directional aggregation L_r over the whole volume.
+
+    The scan axis is y when dy != 0, else x; dx shifts the carry laterally
+    for diagonal paths.  Returns the aggregated (H, W, D) volume.
+    """
+    if dy == 0:
+        # horizontal: scan over x, carry (H, D)
+        vol = jnp.swapaxes(cost, 0, 1)          # (W, H, D)
+        flip = dx < 0
+    else:
+        vol = cost                               # (H, W, D)
+        flip = dy < 0
+    if flip:
+        vol = vol[::-1]
+    # for diagonal paths the predecessor sits at x - dx on the previous row;
+    # this offset is unchanged by the vertical flip
+    lateral = dx if dy != 0 else 0
+
+    def step(carry, c_row):
+        L_prev, first = carry
+        if lateral:
+            # predecessor of (x, y) along (dx, dy) lies at x - dx in the
+            # previous row; rolling the carry by +dx aligns it
+            Lp = jnp.roll(L_prev, lateral, axis=0)
+            edge = jnp.zeros(L_prev.shape[0], dtype=bool)
+            if lateral > 0:
+                edge = edge.at[:lateral].set(True)
+            else:
+                edge = edge.at[lateral:].set(True)
+        else:
+            Lp = L_prev
+            edge = jnp.zeros(L_prev.shape[0], dtype=bool)
+        contrib = _min_convolution(Lp, p1, p2)
+        contrib = jnp.where((first | edge)[:, None], 0.0, contrib)
+        L = c_row + contrib
+        return (L, jnp.zeros((), bool)), L
+
+    n, m, D = vol.shape
+    init = (jnp.zeros((m, D), vol.dtype), jnp.ones((), bool))
+    _, out = jax.lax.scan(step, init, vol)
+    if flip:
+        out = out[::-1]
+    if dy == 0:
+        out = jnp.swapaxes(out, 0, 1)
+    return out
+
+
+def _nan_median3(x):
+    """3x3 NaN-aware median (lower-median for even valid counts)."""
+    h, w = x.shape
+    pad = jnp.pad(x, 1, constant_values=jnp.nan)
+    stack = jnp.stack([pad[dy:dy + h, dx:dx + w]
+                       for dy in range(3) for dx in range(3)], axis=-1)
+    big = jnp.asarray(jnp.inf, x.dtype)
+    filled = jnp.where(jnp.isnan(stack), big, stack)
+    srt = jnp.sort(filled, axis=-1)
+    n = jnp.sum(~jnp.isnan(stack), axis=-1)
+    idx = jnp.maximum(n - 1, 0) // 2
+    med = jnp.take_along_axis(srt, idx[..., None], axis=-1)[..., 0]
+    return jnp.where(n > 0, med, jnp.nan)
+
+
+def _subpixel(S, d_int, mode):
+    """Subpixel offset from the aggregated costs around the WTA disparity."""
+    D = S.shape[-1]
+    c1 = jnp.take_along_axis(S, d_int[..., None], axis=-1)[..., 0]
+    c0 = jnp.take_along_axis(S, jnp.maximum(d_int - 1, 0)[..., None], axis=-1)[..., 0]
+    c2 = jnp.take_along_axis(S, jnp.minimum(d_int + 1, D - 1)[..., None], axis=-1)[..., 0]
+    interior = (d_int > 0) & (d_int < D - 1)
+    if mode == 'vfit':
+        # fit a symmetric V through the three samples (mgm '-s vfit')
+        den = 2.0 * (jnp.maximum(c0, c2) - c1)
+        off = (c0 - c2) / jnp.maximum(den, 1e-9)
+    elif mode == 'parabola':
+        den = c0 - 2.0 * c1 + c2
+        off = 0.5 * (c0 - c2) / jnp.maximum(den, 1e-9)
+    else:
+        return jnp.zeros_like(c1)
+    off = jnp.clip(off, -0.5, 0.5)
+    return jnp.where(interior, off, 0.0)
+
+
+def _right_disparity(S, disp_min):
+    """Right-reference WTA disparity from the left aggregated volume.
+
+    S_R[y, x2, k] = S_L[y, x2 - (disp_min + k), k]; returns the (negated)
+    right disparity map dR with dR(x2) = -(disp_min + argmin_k S_R).
+    """
+    h, w, D = S.shape
+    xs = jnp.arange(w)[:, None] - (disp_min + jnp.arange(D))[None, :]
+    inb = (xs >= 0) & (xs < w)
+    xs_c = jnp.clip(xs, 0, w - 1)
+    S_R = S[:, xs_c, jnp.arange(D)[None, :]]
+    S_R = jnp.where(inb[None], S_R, jnp.inf)
+    kR = jnp.argmin(S_R, axis=-1)
+    return -(disp_min + kR).astype(S.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('disp_min', 'disp_max', 'params'))
+def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams):
+    """Dense disparity of a rectified pair by census + SGM aggregation.
+
+    Args:
+        im1, im2: rectified reference/secondary images (NaN = invalid).
+        disp_min, disp_max: inclusive integer disparity bounds (static).
+        params: aggregation parameters.
+
+    Returns:
+        dict with 'disp' (float32, NaN invalid), 'valid' (bool), and
+        'confidence' (float32 in [0, 1], direction-consensus score).
+    """
+    cost, val1 = census_cost_volume(im1, im2, disp_min, disp_max,
+                                    params.census_win)
+    D = cost.shape[-1]
+    p1 = jnp.asarray(params.p1, cost.dtype)
+    p2 = jnp.asarray(params.p2, cost.dtype)
+
+    dirs = _DIRS_8[:max(2, min(params.nb_dir, 8))]
+    S = jnp.zeros_like(cost)
+    votes = []
+    for (dx, dy) in dirs:
+        L = _scan_pass(cost, dx, dy, p1, p2)
+        votes.append(jnp.argmin(L, axis=-1))
+        S = S + L
+
+    d_int = jnp.argmin(S, axis=-1)
+    consensus = sum((jnp.abs(v - d_int) <= 1) for v in votes)
+    confidence = consensus.astype(jnp.float32) / len(dirs)
+
+    off = _subpixel(S, d_int, params.subpix)
+    disp = disp_min + d_int.astype(jnp.float32) + off
+
+    # val1 is false where the census window leaves the image or no valid
+    # disparity candidate exists (NaN borders of the rectified crops)
+    valid = val1
+
+    if params.lr_enabled:
+        dR = _right_disparity(S, disp_min)
+        w = im1.shape[1]
+        x2 = jnp.clip(jnp.round(jnp.arange(w)[None, :] + disp).astype(jnp.int32),
+                      0, dR.shape[1] - 1)
+        dR_at = jnp.take_along_axis(dR, x2, axis=1)
+        lr_ok = jnp.abs(disp + dR_at) <= params.lr_tau
+        valid = valid & lr_ok
+
+    disp = jnp.where(valid, disp, jnp.nan)
+    if params.median:
+        disp = _nan_median3(disp)
+        valid = ~jnp.isnan(disp)
+
+    return {'disp': disp, 'valid': valid, 'confidence': confidence}
+
+
+def match_pair(im1, im2, disp_min, disp_max, params: SgmParams = SgmParams(),
+               d_pad_multiple: int = 16):
+    """Host wrapper: pads the disparity range to a lane-friendly multiple
+    (bucketing recompilations) and returns numpy outputs."""
+    disp_min = int(np.floor(disp_min))
+    disp_max = int(np.ceil(disp_max))
+    D = disp_max - disp_min + 1
+    D_pad = -(-D // d_pad_multiple) * d_pad_multiple
+    disp_max_p = disp_min + D_pad - 1
+
+    out = sgm_match(jnp.asarray(np.asarray(im1, dtype=np.float32)),
+                    jnp.asarray(np.asarray(im2, dtype=np.float32)),
+                    disp_min, disp_max_p, params)
+    disp = np.array(out['disp'])
+    valid = np.array(out['valid'])
+    conf = np.asarray(out['confidence'])
+    # discard candidates introduced by the padding
+    bad = disp > disp_max + 0.5
+    disp[bad] = np.nan
+    valid &= ~bad
+    return disp, valid, conf

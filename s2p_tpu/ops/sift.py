@@ -1,0 +1,571 @@
+"""SIFT keypoints, descriptors and matching.
+
+From-scratch implementation of the IPOL "Anatomy of the SIFT Method"
+(Rey-Otero & Delbracio) algorithm, the method behind the reference's
+``libsift4ctypes.so`` (cf. /root/reference/s2p/sift.py:33-114 for the
+parameters and output contract: rows of (x, y, scale, orientation,
+128-descriptor), raw-intensity DoG threshold 0.0133, n_octaves 8, 3 scales
+per octave).
+
+Split of work:
+  * dense stages (gaussian scale space, DoG, 26-neighbor extremum masks)
+    are jitted JAX convolutions/reductions -- the per-pixel hot part;
+  * sparse stages (quadratic refinement, orientation histograms,
+    descriptors) run vectorized on host over the extracted candidates
+    (variable-length; batched numpy).
+
+Matching (ratio test + epipolar gate) is a dense descriptor-distance matmul
+-- MXU work -- over the two keypoint sets.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+# IPOL reference parameters
+DELTA_MIN = 0.5
+SIGMA_MIN = 0.8
+SIGMA_IN = 0.5
+N_SPO = 3
+C_EDGE = 10.0
+LAMBDA_ORI = 1.5
+LAMBDA_DESCR = 6.0
+N_BINS = 36
+N_HIST = 4
+N_ORI = 8
+
+
+# --------------------------------------------------------------------- #
+# Dense device stages
+# --------------------------------------------------------------------- #
+
+def _gauss_kernel(sigma):
+    r = max(1, int(math.ceil(4.0 * sigma)))
+    xs = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (xs / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur(img, sigma):
+    """Separable gaussian blur with symmetric boundary (IPOL convention)."""
+    import jax.numpy as jnp
+
+    k = jnp.asarray(_gauss_kernel(sigma))
+    r = (len(k) - 1) // 2
+    p = jnp.pad(img, ((r, r), (0, 0)), mode='symmetric')
+    img = sum(k[i] * p[i:i + img.shape[0], :] for i in range(len(k)))
+    p = jnp.pad(img, ((0, 0), (r, r)), mode='symmetric')
+    img = sum(k[i] * p[:, i:i + img.shape[1]] for i in range(len(k)))
+    return img
+
+
+def _upsample2(img):
+    """Bilinear x2 upsampling to the delta_min = 0.5 grid (IPOL oversample)."""
+    import jax
+    import jax.numpy as jnp
+
+    h, w = img.shape
+    oh, ow = 2 * h, 2 * w
+    ys = jnp.arange(oh) * 0.5
+    xs = jnp.arange(ow) * 0.5
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    a = img[y0[:, None], x0[None, :]]
+    b = img[y0[:, None], x1[None, :]]
+    c = img[y1[:, None], x0[None, :]]
+    d = img[y1[:, None], x1[None, :]]
+    return a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx \
+        + c * fy * (1 - fx) + d * fy * fx
+
+
+def _build_scale_space(img, n_oct, n_spo):
+    """Gaussian scale space + DoG pyramid (host-driven loop of jitted blurs).
+
+    Returns per octave: (gauss (n_spo+3, h, w), dog (n_spo+2, h, w), delta).
+    """
+    import jax.numpy as jnp
+
+    octaves = []
+    u = _upsample2(jnp.asarray(img, jnp.float32))
+    sigma0 = math.sqrt(SIGMA_MIN ** 2 - SIGMA_IN ** 2) / DELTA_MIN
+    v = _blur(u, sigma0)
+    delta = DELTA_MIN
+    for o in range(n_oct):
+        imgs = [v]
+        for s in range(1, n_spo + 3):
+            rho = (SIGMA_MIN / DELTA_MIN) * math.sqrt(
+                2 ** (2.0 * s / n_spo) - 2 ** (2.0 * (s - 1) / n_spo))
+            imgs.append(_blur(imgs[-1], rho))
+        g = jnp.stack(imgs)
+        dog = g[1:] - g[:-1]
+        octaves.append((g, dog, delta))
+        if min(imgs[0].shape) // 2 < 12:
+            break
+        v = imgs[n_spo][::2, ::2]
+        delta *= 2
+    return octaves
+
+
+def _extrema_mask(dog):
+    """Strict 26-neighbor extrema of the DoG stack (jnp; (S, H, W) bool for
+    scales 1..S-2, returned aligned with the full stack)."""
+    import jax.numpy as jnp
+
+    S, H, W = dog.shape
+    c = dog[1:-1, 1:-1, 1:-1]
+    is_max = jnp.ones_like(c, dtype=bool)
+    is_min = jnp.ones_like(c, dtype=bool)
+    for ds in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if ds == 0 and dy == 0 and dx == 0:
+                    continue
+                nb = dog[1 + ds:S - 1 + ds, 1 + dy:H - 1 + dy, 1 + dx:W - 1 + dx]
+                is_max &= c > nb
+                is_min &= c < nb
+    out = jnp.zeros_like(dog, dtype=bool)
+    return out.at[1:-1, 1:-1, 1:-1].set(is_max | is_min)
+
+
+# --------------------------------------------------------------------- #
+# Sparse host stages
+# --------------------------------------------------------------------- #
+
+def _refine_candidates(dog, cand, c_dog):
+    """Vectorized 3D quadratic interpolation of extrema (IPOL: up to 5
+    re-localization attempts, 0.6 offset gate, then |w| and edge tests).
+
+    Args:
+        dog: (S, H, W) numpy DoG stack of one octave.
+        cand: (n, 3) integer candidates (s, y, x).
+
+    Returns:
+        (kept (m, 3) int, offsets (m, 3) float, vals (m,)).
+    """
+    S, H, W = dog.shape
+    pos = cand.astype(np.int64).copy()
+    n = len(pos)
+    alive = np.ones(n, dtype=bool)
+    done = np.zeros(n, dtype=bool)
+    off = np.zeros((n, 3), dtype=np.float64)
+    val = np.zeros(n, dtype=np.float64)
+
+    for _ in range(5):
+        idx = np.where(alive & ~done)[0]
+        if len(idx) == 0:
+            break
+        s, y, x = pos[idx, 0], pos[idx, 1], pos[idx, 2]
+
+        def at(ds, dy, dx):
+            return dog[s + ds, y + dy, x + dx]
+
+        g = np.stack([0.5 * (at(1, 0, 0) - at(-1, 0, 0)),
+                      0.5 * (at(0, 1, 0) - at(0, -1, 0)),
+                      0.5 * (at(0, 0, 1) - at(0, 0, -1))], axis=1)
+        c0 = at(0, 0, 0)
+        hss = at(1, 0, 0) + at(-1, 0, 0) - 2 * c0
+        hyy = at(0, 1, 0) + at(0, -1, 0) - 2 * c0
+        hxx = at(0, 0, 1) + at(0, 0, -1) - 2 * c0
+        hsy = 0.25 * (at(1, 1, 0) - at(1, -1, 0) - at(-1, 1, 0) + at(-1, -1, 0))
+        hsx = 0.25 * (at(1, 0, 1) - at(1, 0, -1) - at(-1, 0, 1) + at(-1, 0, -1))
+        hyx = 0.25 * (at(0, 1, 1) - at(0, 1, -1) - at(0, -1, 1) + at(0, -1, -1))
+        Hm = np.empty((len(idx), 3, 3))
+        Hm[:, 0, 0], Hm[:, 0, 1], Hm[:, 0, 2] = hss, hsy, hsx
+        Hm[:, 1, 0], Hm[:, 1, 1], Hm[:, 1, 2] = hsy, hyy, hyx
+        Hm[:, 2, 0], Hm[:, 2, 1], Hm[:, 2, 2] = hsx, hyx, hxx
+        det = np.linalg.det(Hm)
+        ok = np.abs(det) > 1e-30
+        sol = np.zeros_like(g)
+        if ok.any():
+            sol[ok] = np.linalg.solve(Hm[ok], -g[ok][..., None])[..., 0]
+        alive[idx[~ok]] = False
+
+        interior = np.all(np.abs(sol) < 0.6, axis=1)
+        w_interp = c0 + 0.5 * np.sum(g * sol, axis=1)
+        fin = idx[interior & ok]
+        off[fin] = sol[interior & ok]
+        val[fin] = w_interp[interior & ok]
+        done[fin] = True
+
+        move = idx[~interior & ok]
+        step = np.round(sol[~interior & ok]).astype(np.int64)
+        step = np.clip(step, -1, 1)
+        pos[move] += step
+        inb = ((pos[move, 0] >= 1) & (pos[move, 0] <= S - 2)
+               & (pos[move, 1] >= 1) & (pos[move, 1] <= H - 2)
+               & (pos[move, 2] >= 1) & (pos[move, 2] <= W - 2))
+        alive[move[~inb]] = False
+
+    keep = alive & done & (np.abs(val) >= c_dog)
+    if not keep.any():
+        return (np.zeros((0, 3), np.int64), np.zeros((0, 3)), np.zeros(0))
+
+    # edge-response test on the 2D spatial hessian
+    s, y, x = pos[keep, 0], pos[keep, 1], pos[keep, 2]
+    c0 = dog[s, y, x]
+    hyy = dog[s, y + 1, x] + dog[s, y - 1, x] - 2 * c0
+    hxx = dog[s, y, x + 1] + dog[s, y, x - 1] - 2 * c0
+    hyx = 0.25 * (dog[s, y + 1, x + 1] - dog[s, y + 1, x - 1]
+                  - dog[s, y - 1, x + 1] + dog[s, y - 1, x - 1])
+    tr = hxx + hyy
+    det2 = hxx * hyy - hyx * hyx
+    edge_ok = (det2 > 0) & (tr * tr * C_EDGE < (C_EDGE + 1) ** 2 * det2)
+    kidx = np.where(keep)[0][edge_ok]
+    return pos[kidx], off[kidx], val[kidx]
+
+
+def _orientations(grad_mag, grad_ori, y, x, sigma_oct, delta):
+    """Principal orientations of keypoints from a 36-bin gradient histogram
+    (IPOL: 3*lambda_ori*sigma window, 6x circular box smoothing, 0.8 gate,
+    parabolic bin refinement).  Returns a list of arrays of angles per kp."""
+    H, W = grad_mag.shape
+    n = len(y)
+    out = []
+    for i in range(n):
+        sig = sigma_oct[i]
+        r = int(round(3 * LAMBDA_ORI * sig))
+        yy0, yy1 = max(1, int(y[i]) - r), min(H - 1, int(y[i]) + r + 1)
+        xx0, xx1 = max(1, int(x[i]) - r), min(W - 1, int(x[i]) + r + 1)
+        if yy1 <= yy0 or xx1 <= xx0:
+            out.append(np.zeros(0))
+            continue
+        m = grad_mag[yy0:yy1, xx0:xx1]
+        o = grad_ori[yy0:yy1, xx0:xx1]
+        gy, gx = np.mgrid[yy0:yy1, xx0:xx1]
+        d2 = (gy - y[i]) ** 2 + (gx - x[i]) ** 2
+        # square window, gaussian weight (IPOL keypoint_accumulate_orientation)
+        w = np.exp(-d2 / (2 * (LAMBDA_ORI * sig) ** 2)) * m
+        bins = np.rint(N_BINS / (2 * np.pi) * (o % (2 * np.pi))).astype(int) % N_BINS
+        hist = np.bincount(bins.ravel(), weights=w.ravel(), minlength=N_BINS)
+        for _ in range(6):
+            hist = (np.roll(hist, 1) + hist + np.roll(hist, -1)) / 3.0
+        mx = hist.max()
+        if mx <= 0:
+            out.append(np.zeros(0))
+            continue
+        angles = []
+        for b in range(N_BINS):
+            hp = hist[(b - 1) % N_BINS]
+            hc = hist[b]
+            hn = hist[(b + 1) % N_BINS]
+            if hc > hp and hc > hn and hc >= 0.8 * mx:
+                db = (hp - hn) / (2 * (hp + hn - 2 * hc)) if (hp + hn - 2 * hc) != 0 else 0.0
+                theta = 2 * np.pi * (b + 0.5 + db) / N_BINS
+                angles.append(theta if theta <= np.pi else theta - 2 * np.pi)
+        out.append(np.asarray(angles))
+    return out
+
+
+def _descriptor(grad_mag, grad_ori, yc, xc, sigma, theta):
+    """One 128-d SIFT descriptor (4x4x8, trilinear, 0.2 clip, 512 quant)."""
+    H, W = grad_mag.shape
+    lam = LAMBDA_DESCR
+    rad = lam * (N_HIST + 1.0) / N_HIST * sigma * math.sqrt(0.5) * 2  # cover rotated square
+    r = int(round(rad))
+    y0, y1 = max(1, int(yc) - r), min(H - 1, int(yc) + r + 1)
+    x0, x1 = max(1, int(xc) - r), min(W - 1, int(xc) + r + 1)
+    if y1 <= y0 or x1 <= x0:
+        return np.zeros(128, dtype=np.float32)
+    gy, gx = np.mgrid[y0:y1, x0:x1]
+    dy = (gy - yc).ravel()     # along rows ('x' in the IPOL frame)
+    dx = (gx - xc).ravel()     # along cols ('y' in the IPOL frame)
+    ct, st = math.cos(theta), math.sin(theta)
+    # rotate into the keypoint frame (IPOL row-major axes), in sigma units
+    u = (ct * dy + st * dx) / sigma
+    v = (-st * dy + ct * dx) / sigma
+    m = grad_mag[y0:y1, x0:x1].ravel()
+    o = grad_ori[y0:y1, x0:x1].ravel()
+
+    # the sampling window extends to lambda*(n+1)/n so border histogram
+    # cells (whose centers sit at +-lambda*(n-1)/n) receive full support
+    lim_win = lam * (N_HIST + 1.0) / N_HIST
+    sel = (np.abs(u) < lim_win) & (np.abs(v) < lim_win)
+    u, v, m, o = u[sel], v[sel], m[sel], o[sel]
+    w = m * np.exp(-(u * u + v * v) / (2 * lam * lam))
+    ang = (o - theta) % (2 * np.pi)
+
+    # histogram grid: N_HIST cells of width 2*lambda/N_HIST centered on 0
+    cu = (u + lam) * N_HIST / (2 * lam) - 0.5
+    cv = (v + lam) * N_HIST / (2 * lam) - 0.5
+    co = ang * N_ORI / (2 * np.pi)
+
+    desc = np.zeros((N_HIST, N_HIST, N_ORI))
+    iu0 = np.floor(cu).astype(int)
+    iv0 = np.floor(cv).astype(int)
+    io0 = np.floor(co).astype(int)
+    fu = cu - iu0
+    fv = cv - iv0
+    fo = co - io0
+    for du, wu in ((0, 1 - fu), (1, fu)):
+        uu = iu0 + du
+        mu = (uu >= 0) & (uu < N_HIST)
+        for dv, wv in ((0, 1 - fv), (1, fv)):
+            vv = iv0 + dv
+            mv = mu & (vv >= 0) & (vv < N_HIST)
+            for do, wo in ((0, 1 - fo), (1, fo)):
+                oo = (io0 + do) % N_ORI
+                wgt = w * wu * wv * wo
+                # IPOL flattening order: (u-cell, v-cell, orientation)
+                np.add.at(desc, (uu[mv], vv[mv], oo[mv]), wgt[mv])
+
+    d = desc.ravel()
+    nrm = np.linalg.norm(d)
+    if nrm > 0:
+        d = np.minimum(d, 0.2 * nrm)
+        nrm = np.linalg.norm(d)
+        d = np.minimum(np.floor(512.0 * d / nrm), 255.0)
+    return d.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=2)
+def _jit_dense():
+    import jax
+
+    def dense(img, n_oct, n_spo):
+        return _build_scale_space(img, n_oct, n_spo)
+    return dense
+
+
+def keypoints_from_array(arr, thresh_dog=0.0133, n_octaves=8, n_scales=3,
+                         offset=None):
+    """Detect SIFT keypoints + descriptors on a 2D array.
+
+    Returns (n, 132) float32 rows (x, y, scale, orientation, descriptor),
+    the contract of the reference ctypes wrapper (sift.py:33-82).
+    """
+    import jax.numpy as jnp
+
+    arr = np.asarray(arr, dtype=np.float32)
+    octaves = _build_scale_space(arr, n_octaves, n_scales)
+
+    rows = []
+    for (g, dog, delta) in octaves:
+        dog_np = np.asarray(dog)
+        # pre-filter weak extrema before interpolation (IPOL 0.8 * C_DoG)
+        mask = np.asarray(_extrema_mask(dog)) & (np.abs(dog_np) >= 0.8 * thresh_dog)
+        cand = np.argwhere(mask)
+        if len(cand) == 0:
+            continue
+        pos, off, val = _refine_candidates(dog_np, cand, thresh_dog)
+        if len(pos) == 0:
+            continue
+
+        # per-scale gradient fields of the gaussian images
+        g_np = np.asarray(g)
+        for s_idx in range(1, n_scales + 1 + 1):
+            sel = pos[:, 0] == s_idx
+            if not sel.any():
+                continue
+            v = g_np[s_idx]
+            gy = np.zeros_like(v)      # d/d(row)
+            gx = np.zeros_like(v)      # d/d(col)
+            gy[1:-1, :] = 0.5 * (v[2:, :] - v[:-2, :])
+            gx[:, 1:-1] = 0.5 * (v[:, 2:] - v[:, :-2])
+            gmag = np.hypot(gx, gy)
+            # IPOL axis convention: the first image axis is 'x' (rows), so
+            # the reference orientation is atan2(d/dcol, d/drow)
+            gori = np.arctan2(gx, gy)
+
+            ys = pos[sel, 1] + off[sel, 1]
+            xs = pos[sel, 2] + off[sel, 2]
+            ss = pos[sel, 0] + off[sel, 0]
+            sigma = delta / DELTA_MIN * SIGMA_MIN * 2.0 ** (ss / n_scales)
+            sigma_oct = sigma / delta
+
+            oris = _orientations(gmag, gori, ys, xs, sigma_oct, delta)
+            for i in range(sel.sum()):
+                for theta in oris[i]:
+                    d = _descriptor(gmag, gori, ys[i], xs[i], sigma_oct[i], theta)
+                    rows.append(np.concatenate([
+                        [xs[i] * delta, ys[i] * delta, sigma[i], theta], d]))
+
+    if not rows:
+        return np.zeros((0, 132), dtype=np.float32)
+    kp = np.asarray(rows, dtype=np.float32)
+    if offset is not None:
+        kp[:, 0] += offset[0]
+        kp[:, 1] += offset[1]
+    return kp
+
+
+def image_keypoints(img, x, y, w, h, max_nb=None, thresh_dog=0.0133,
+                    n_octaves=8, n_scales=3):
+    """Keypoints of a window of a (full) image array
+    (reference sift.py:85-114 contract, ROI clipped to the image)."""
+    img = np.asarray(img)
+    if x < 0:
+        w += x
+        x = 0
+    if y < 0:
+        h += y
+        y = 0
+    w = min(w, img.shape[1] - x)
+    h = min(h, img.shape[0] - y)
+    kp = keypoints_from_array(img[int(y):int(y + h), int(x):int(x + w)],
+                              thresh_dog, n_octaves, n_scales,
+                              offset=(int(x), int(y)))
+    if max_nb is not None:
+        kp = kp[:max_nb]
+    return kp
+
+
+# --------------------------------------------------------------------- #
+# Matching
+# --------------------------------------------------------------------- #
+
+def keypoints_match(k1, k2, method='relative', sift_thresh=0.6, F=None,
+                    epipolar_threshold=10, model=None, ransac_max_err=0.3):
+    """Match two keypoint sets: epipolar-gated nearest-neighbor with ratio /
+    absolute test, then optional RANSAC fundamental-matrix inlier filter.
+
+    Parity: reference sift.py:145-237 (the C matcher applies the epipolar
+    gate INSIDE the neighbor search, using the 5-coefficient affine F).
+    The descriptor distances are one (n1, n2) matmul -- MXU work.
+    """
+    import jax.numpy as jnp
+
+    k1 = np.asarray(k1, dtype=np.float32)
+    k2 = np.asarray(k2, dtype=np.float32)
+    if len(k1) == 0 or len(k2) == 0:
+        return np.zeros((0, 4), dtype=np.float32)
+
+    d1 = jnp.asarray(k1[:, 4:])
+    d2 = jnp.asarray(k2[:, 4:])
+    # squared euclidean distances via the gram matrix
+    sq = (jnp.sum(d1 * d1, axis=1)[:, None] + jnp.sum(d2 * d2, axis=1)[None, :]
+          - 2.0 * d1 @ d2.T)
+    sq = jnp.maximum(sq, 0.0)
+
+    if F is not None:
+        F = np.asarray(F, dtype=np.float64)
+        a, b = F[0, 2], F[1, 2]
+        c, d, e = F[2, 0], F[2, 1], F[2, 2]
+        x1 = k1[:, 0]
+        y1 = k1[:, 1]
+        x2 = k2[:, 0]
+        y2 = k2[:, 1]
+        lin = (a * x2[None, :] + b * y2[None, :]
+               + (c * x1 + d * y1 + e)[:, None])
+        epi = np.abs(lin) / math.hypot(a, b)
+        gate = jnp.asarray(epi <= epipolar_threshold)
+        sq = jnp.where(gate, sq, jnp.inf)
+
+    # nearest and second nearest
+    neg = -sq
+    top2, idx2 = __import__('jax').lax.top_k(neg, 2)
+    best = -top2[:, 0]
+    second = -top2[:, 1]
+    nn = np.asarray(idx2[:, 0])
+    best = np.asarray(best)
+    second = np.asarray(second)
+
+    if method == 'relative':
+        ok = np.sqrt(best) < sift_thresh * np.sqrt(second)
+    else:
+        ok = np.sqrt(best) < sift_thresh
+    ok &= np.isfinite(best)
+
+    matches = np.column_stack([k1[ok, 0], k1[ok, 1],
+                               k2[nn[ok], 0], k2[nn[ok], 1]]).astype(np.float32)
+
+    if model == 'fundamental' and len(matches) >= 7:
+        inliers, _ = ransac_fundamental_matrix(matches, ntrials=1000,
+                                               max_err=ransac_max_err)
+        matches = matches[inliers]
+    return matches
+
+
+def ransac_fundamental_matrix(matches, ntrials=1000, max_err=0.3, seed=0):
+    """RANSAC F-matrix inlier search (replaces the pip ``ransac`` package,
+    reference sift.py:181-185): normalized 8-point minimal solver, symmetric
+    epipolar distance, best-consensus model refit on inliers."""
+    m = np.asarray(matches, dtype=np.float64)
+    n = len(m)
+    rng = np.random.RandomState(seed)
+    p1 = np.column_stack([m[:, 0:2], np.ones(n)])
+    p2 = np.column_stack([m[:, 2:4], np.ones(n)])
+
+    def eight_point(sub):
+        a = sub[:, 0:2]
+        b = sub[:, 2:4]
+
+        def normalize(p):
+            c = p.mean(axis=0)
+            s = np.sqrt(2) / max(np.mean(np.linalg.norm(p - c, axis=1)), 1e-12)
+            T = np.array([[s, 0, -s * c[0]], [0, s, -s * c[1]], [0, 0, 1]])
+            return (p - c) * s, T
+
+        an, Ta = normalize(a)
+        bn, Tb = normalize(b)
+        X = np.column_stack([
+            bn[:, 0] * an[:, 0], bn[:, 0] * an[:, 1], bn[:, 0],
+            bn[:, 1] * an[:, 0], bn[:, 1] * an[:, 1], bn[:, 1],
+            an[:, 0], an[:, 1], np.ones(len(sub))])
+        f = np.linalg.svd(X)[2][-1].reshape(3, 3)
+        U, S, Vt = np.linalg.svd(f)
+        f = U @ np.diag([S[0], S[1], 0.0]) @ Vt
+        return Tb.T @ f @ Ta
+
+    def epi_errors(F):
+        l2 = p1 @ F.T          # lines in image 2
+        l1 = p2 @ F            # lines in image 1
+        num = np.abs(np.sum(p2 * l2, axis=1))
+        d2 = num / np.hypot(l2[:, 0], l2[:, 1])
+        d1 = num / np.hypot(l1[:, 0], l1[:, 1])
+        return np.maximum(d1, d2)
+
+    best_count = -1
+    best_inl = np.zeros(n, dtype=bool)
+    for _ in range(ntrials):
+        sub = m[rng.choice(n, size=min(8, n), replace=False)]
+        try:
+            F = eight_point(sub)
+        except np.linalg.LinAlgError:
+            continue
+        inl = epi_errors(F) < max_err
+        cnt = int(inl.sum())
+        if cnt > best_count:
+            best_count = cnt
+            best_inl = inl
+    if best_count >= 8:
+        F = eight_point(m[best_inl])
+    else:
+        F = None
+    return np.where(best_inl)[0], F
+
+
+def matches_on_rpc_roi(im1, im2, rpc1, rpc2, x, y, w, h, method='relative',
+                       sift_thresh=0.6, epipolar_threshold=10, **alt_kwargs):
+    """SIFT matches between two full images over an ROI of the first.
+
+    Parity: reference sift.py:240-282 (corresponding ROI via RPC, affine F
+    gate, DoG-threshold halving retry, RANSAC inlier filter).
+    """
+    from ..core import estimation, rpc_geom
+
+    x2, y2, w2, h2 = rpc_geom.corresponding_roi(rpc1, rpc2, x, y, w, h,
+                                                **alt_kwargs)
+    rpc_matches = rpc_geom.matches_from_rpc(rpc1, rpc2, x, y, w, h, 5,
+                                            **alt_kwargs)
+    F = estimation.affine_fundamental_matrix(rpc_matches)
+
+    thresh_dog = 0.0133
+    for _ in range(2):
+        p1 = image_keypoints(im1, x, y, w, h, thresh_dog=thresh_dog)
+        p2 = image_keypoints(im2, x2, y2, w2, h2, thresh_dog=thresh_dog)
+        matches = keypoints_match(p1, p2, method, sift_thresh, F,
+                                  epipolar_threshold=epipolar_threshold,
+                                  model='fundamental')
+        if matches is not None and matches.ndim == 2 and matches.shape[0] > 10:
+            return matches
+        thresh_dog /= 2.0
+    import warnings
+    warnings.warn('sift.matches_on_rpc_roi: found no matches')
+    return None

@@ -1,0 +1,74 @@
+"""Stereo matching engine tests (census + SGM aggregation)."""
+
+import numpy as np
+import pytest
+
+from s2p_tpu.config import Config
+from s2p_tpu.core import matching
+from s2p_tpu.ops.sgm import SgmParams, match_pair
+
+
+def _synthetic_pair(seed=0, H=100, W=140, d_fg=5.0):
+    rng = np.random.RandomState(seed)
+    im1 = rng.rand(H, W).astype(np.float32) * 100
+    true = np.zeros((H, W), np.float32)
+    true[30:70, 40:110] = d_fg
+    im2 = np.zeros_like(im1)
+    for y in range(H):
+        for x in range(W):
+            d = int(true[y, x])
+            if 0 <= x + d < W:
+                im2[y, x + d] = im1[y, x]
+    return im1, im2, true
+
+
+def test_sgm_recovers_disparity():
+    im1, im2, true = _synthetic_pair()
+    disp, valid, conf = match_pair(im1, im2, -2, 8)
+    inner = valid[10:-10, 10:-10] & np.isfinite(disp[10:-10, 10:-10])
+    err = np.abs(disp - true)[10:-10, 10:-10][inner]
+    assert (err < 1).mean() > 0.95
+    assert np.median(err) < 0.3
+    assert conf.mean() > 0.5
+
+
+def test_sgm_nan_borders_masked():
+    im1, im2, _ = _synthetic_pair()
+    im1[:, :12] = np.nan
+    disp, valid, _ = match_pair(im1, im2, -2, 8)
+    assert not valid[:, :10].any()
+    assert np.isnan(disp[:, :10]).all()
+
+
+def test_compute_disparity_map_mgm():
+    im1, im2, true = _synthetic_pair()
+    cfg = Config()
+    disp, mask, conf = matching.compute_disparity_map(cfg, im1, im2, -2, 8)
+    inner = mask[10:-10, 10:-10].astype(bool)
+    err = np.abs(disp - true)[10:-10, 10:-10][inner]
+    assert (err < 1).mean() > 0.95
+
+
+def test_max_disparity_range_guard():
+    im1, im2, _ = _synthetic_pair()
+    cfg = Config(max_disp_range=4)
+    with pytest.raises(matching.MaxDisparityRangeError):
+        matching.compute_disparity_map(cfg, im1, im2, -10, 10)
+
+
+def test_disparity_range_clamped_to_width():
+    im1, im2, true = _synthetic_pair()
+    cfg = Config()
+    # an absurd range gets clamped to the image width, not an error
+    disp, mask, _ = matching.compute_disparity_map(cfg, im1, im2, -500, 500)
+    assert mask.any()
+
+
+def test_multiscale_matches_fullrange():
+    im1, im2, true = _synthetic_pair(H=128, W=256, d_fg=9.0)
+    cfg = Config(matching_algorithm='mgm_multi')
+    disp, mask, conf = matching.compute_disparity_map(
+        cfg, im1, im2, -40, 60)   # wide range triggers the cascade
+    inner = mask[12:-12, 12:-12].astype(bool)
+    err = np.abs(disp - true)[12:-12, 12:-12][inner]
+    assert (err < 1).mean() > 0.9

