@@ -59,8 +59,9 @@ def test_ransac_rejects_outliers():
     rng = np.random.RandomState(3)
     n = 100
     x1 = rng.uniform(0, 500, (n, 2))
-    # affine stereo geometry: epipolar lines horizontal
-    disp = 0.05 * x1[:, 0] + 3.0
+    # rectified stereo with per-point parallax (non-planar scene: the
+    # correspondences must not lie on a homography or F is degenerate)
+    disp = rng.uniform(0, 10, n)
     matches = np.column_stack([x1, x1[:, 0] + disp, x1[:, 1]])
     bad = rng.choice(n, 20, replace=False)
     # displace outliers off their epipolar lines (vertically)
