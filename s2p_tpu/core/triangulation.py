@@ -133,10 +133,10 @@ def disp_to_xyz(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx, mask_orig,
         jnp.asarray(base_valid), jnp.asarray(h1_inv_rc), jnp.asarray(h2_inv_rc),
         _to_jax(rpc1_rc), _to_jax(rpc2_rc))
 
-    lon = np.asarray(lon, dtype=np.float64)
-    lat = np.asarray(lat, dtype=np.float64)
-    alt = np.asarray(alt, dtype=np.float64)
-    err = np.asarray(err, dtype=np.float32)
+    lon = np.array(lon, dtype=np.float64)
+    lat = np.array(lat, dtype=np.float64)
+    alt = np.array(alt, dtype=np.float64)
+    err = np.array(err, dtype=np.float32)
     px = np.asarray(px)
     py = np.asarray(py)
 

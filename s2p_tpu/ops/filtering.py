@@ -53,7 +53,7 @@ def count_3d_neighbors(xyz, r, p):
     like the C loop does).  NaN points yield count 0.
     """
     xyz32 = np.nan_to_num(np.asarray(xyz, dtype=np.float32), nan=np.inf)
-    out = np.asarray(_count_jit(float(r), int(p))(xyz32))
+    out = np.array(_count_jit(float(r), int(p))(xyz32))
     out[~np.isfinite(xyz).all(axis=-1)] = 0
     return out
 

@@ -50,33 +50,36 @@ def _gauss_kernel(sigma):
 
 
 def _blur(img, sigma):
-    """Separable gaussian blur with symmetric boundary (IPOL convention)."""
+    """Separable gaussian blur, sampled kernel, symmetric (DCT-II) boundary
+    (IPOL convention).  scipy's C path on host arrays; jax arrays use an
+    equivalent padded tap sum (device path)."""
+    k = _gauss_kernel(sigma)
+    if isinstance(img, np.ndarray):
+        from scipy.ndimage import convolve1d
+        out = convolve1d(img, k, axis=0, mode='reflect')
+        return convolve1d(out, k, axis=1, mode='reflect')
     import jax.numpy as jnp
-
-    k = jnp.asarray(_gauss_kernel(sigma))
+    kj = jnp.asarray(k)
     r = (len(k) - 1) // 2
     p = jnp.pad(img, ((r, r), (0, 0)), mode='symmetric')
-    img = sum(k[i] * p[i:i + img.shape[0], :] for i in range(len(k)))
+    img = sum(kj[i] * p[i:i + img.shape[0], :] for i in range(len(k)))
     p = jnp.pad(img, ((0, 0), (r, r)), mode='symmetric')
-    img = sum(k[i] * p[:, i:i + img.shape[1]] for i in range(len(k)))
+    img = sum(kj[i] * p[:, i:i + img.shape[1]] for i in range(len(k)))
     return img
 
 
 def _upsample2(img):
     """Bilinear x2 upsampling to the delta_min = 0.5 grid (IPOL oversample)."""
-    import jax
-    import jax.numpy as jnp
-
     h, w = img.shape
     oh, ow = 2 * h, 2 * w
-    ys = jnp.arange(oh) * 0.5
-    xs = jnp.arange(ow) * 0.5
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    fy = (ys - y0)[:, None]
-    fx = (xs - x0)[None, :]
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
+    ys = np.arange(oh) * 0.5
+    xs = np.arange(ow) * 0.5
+    y0 = np.floor(ys).astype(np.int32)
+    x0 = np.floor(xs).astype(np.int32)
+    fy = (ys - y0)[:, None].astype(np.float32)
+    fx = (xs - x0)[None, :].astype(np.float32)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
     a = img[y0[:, None], x0[None, :]]
     b = img[y0[:, None], x1[None, :]]
     c = img[y1[:, None], x0[None, :]]
@@ -90,10 +93,8 @@ def _build_scale_space(img, n_oct, n_spo):
 
     Returns per octave: (gauss (n_spo+3, h, w), dog (n_spo+2, h, w), delta).
     """
-    import jax.numpy as jnp
-
     octaves = []
-    u = _upsample2(jnp.asarray(img, jnp.float32))
+    u = _upsample2(np.asarray(img, np.float32))
     sigma0 = math.sqrt(SIGMA_MIN ** 2 - SIGMA_IN ** 2) / DELTA_MIN
     v = _blur(u, sigma0)
     delta = DELTA_MIN
@@ -103,7 +104,7 @@ def _build_scale_space(img, n_oct, n_spo):
             rho = (SIGMA_MIN / DELTA_MIN) * math.sqrt(
                 2 ** (2.0 * s / n_spo) - 2 ** (2.0 * (s - 1) / n_spo))
             imgs.append(_blur(imgs[-1], rho))
-        g = jnp.stack(imgs)
+        g = np.stack(imgs)
         dog = g[1:] - g[:-1]
         octaves.append((g, dog, delta))
         if min(imgs[0].shape) // 2 < 12:
@@ -114,14 +115,12 @@ def _build_scale_space(img, n_oct, n_spo):
 
 
 def _extrema_mask(dog):
-    """Strict 26-neighbor extrema of the DoG stack (jnp; (S, H, W) bool for
+    """Strict 26-neighbor extrema of the DoG stack ((S, H, W) bool for
     scales 1..S-2, returned aligned with the full stack)."""
-    import jax.numpy as jnp
-
     S, H, W = dog.shape
     c = dog[1:-1, 1:-1, 1:-1]
-    is_max = jnp.ones_like(c, dtype=bool)
-    is_min = jnp.ones_like(c, dtype=bool)
+    is_max = np.ones_like(c, dtype=bool)
+    is_min = np.ones_like(c, dtype=bool)
     for ds in (-1, 0, 1):
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
@@ -130,8 +129,9 @@ def _extrema_mask(dog):
                 nb = dog[1 + ds:S - 1 + ds, 1 + dy:H - 1 + dy, 1 + dx:W - 1 + dx]
                 is_max &= c > nb
                 is_min &= c < nb
-    out = jnp.zeros_like(dog, dtype=bool)
-    return out.at[1:-1, 1:-1, 1:-1].set(is_max | is_min)
+    out = np.zeros((S, H, W), dtype=bool)
+    out[1:-1, 1:-1, 1:-1] = is_max | is_min
+    return out
 
 
 # --------------------------------------------------------------------- #
@@ -221,88 +221,144 @@ def _refine_candidates(dog, cand, c_dog):
     return pos[kidx], off[kidx], val[kidx]
 
 
+def _extract_patches(field, y, x, r, fill=0.0):
+    """(n, 2r+1, 2r+1) patches of ``field`` centered at integer (y, x);
+    out-of-image samples get ``fill``.  Fully vectorized gather."""
+    H, W = field.shape
+    dy, dx = np.mgrid[-r:r + 1, -r:r + 1]
+    yy = (y[:, None, None].astype(np.int32) + dy[None].astype(np.int32))
+    xx = (x[:, None, None].astype(np.int32) + dx[None].astype(np.int32))
+    inb = (yy >= 1) & (yy <= H - 2) & (xx >= 1) & (xx <= W - 2)
+    vals = field[np.clip(yy, 0, H - 1), np.clip(xx, 0, W - 1)]
+    return np.where(inb, vals, np.float32(fill)), yy, xx, inb
+
+
+def _chunked(fun, n, budget_elems, patch_elems, *arrays):
+    """Apply ``fun`` over keypoint chunks sized to a memory budget and
+    concatenate the results along axis 0."""
+    chunk = max(1, int(budget_elems // max(patch_elems, 1)))
+    if n <= chunk:
+        return fun(*arrays)
+    outs = []
+    for i in range(0, n, chunk):
+        outs.append(fun(*[a[i:i + chunk] for a in arrays]))
+    if isinstance(outs[0], list):
+        return [x for o in outs for x in o]
+    return np.concatenate(outs, axis=0)
+
+
 def _orientations(grad_mag, grad_ori, y, x, sigma_oct, delta):
+    """Chunked driver for :func:`_orientations_impl` (bounds peak memory on
+    large keypoint sets)."""
+    n = len(y)
+    if n == 0:
+        return []
+    r = int(round(3 * LAMBDA_ORI * float(np.max(sigma_oct))))
+    return _chunked(
+        lambda yy, xx, ss: _orientations_impl(grad_mag, grad_ori, yy, xx, ss),
+        n, 8_000_000, (2 * r + 1) ** 2, y, x, np.asarray(sigma_oct))
+
+
+def _orientations_impl(grad_mag, grad_ori, y, x, sigma_oct):
     """Principal orientations of keypoints from a 36-bin gradient histogram
     (IPOL: 3*lambda_ori*sigma window, 6x circular box smoothing, 0.8 gate,
-    parabolic bin refinement).  Returns a list of arrays of angles per kp."""
-    H, W = grad_mag.shape
+    parabolic bin refinement).  Batched over keypoints: one shared patch
+    radius (the per-octave max), per-keypoint gaussian weights.
+    Returns a list of arrays of angles per kp."""
     n = len(y)
+    r = int(round(3 * LAMBDA_ORI * float(np.max(sigma_oct))))
+    m, yy, xx, inb = _extract_patches(grad_mag, np.rint(y), np.rint(x), r)
+    o = _extract_patches(grad_ori, np.rint(y), np.rint(x), r)[0]
+
+    d2 = ((yy - y[:, None, None]) ** 2 + (xx - x[:, None, None]) ** 2)
+    sig = np.asarray(sigma_oct)[:, None, None]
+    w = np.exp(-d2 / (2 * (LAMBDA_ORI * sig) ** 2)) * m
+    # per-keypoint square window of half-width 3*lambda_ori*sigma
+    win = np.maximum(np.abs(yy - np.rint(y)[:, None, None]),
+                     np.abs(xx - np.rint(x)[:, None, None]))
+    w = np.where((win <= np.rint(3 * LAMBDA_ORI * sig)) & inb, w, 0.0)
+
+    bins = np.rint(N_BINS / (2 * np.pi) * (o % (2 * np.pi))).astype(np.int64) % N_BINS
+    flat = (np.arange(n)[:, None, None] * N_BINS + bins).ravel()
+    hist = np.bincount(flat, weights=w.ravel(),
+                       minlength=n * N_BINS).reshape(n, N_BINS)
+    for _ in range(6):
+        hist = (np.roll(hist, 1, axis=1) + hist + np.roll(hist, -1, axis=1)) / 3.0
+
+    mx = hist.max(axis=1, keepdims=True)
+    hp = np.roll(hist, 1, axis=1)
+    hn = np.roll(hist, -1, axis=1)
+    peak = (hist > hp) & (hist > hn) & (hist >= 0.8 * mx) & (mx > 0)
+    den = hp + hn - 2 * hist
+    with np.errstate(divide='ignore', invalid='ignore'):
+        db = np.where(den != 0, (hp - hn) / (2 * den), 0.0)
+    theta = 2 * np.pi * (np.arange(N_BINS)[None, :] + 0.5 + db) / N_BINS
+    theta = np.where(theta <= np.pi, theta, theta - 2 * np.pi)
+
     out = []
     for i in range(n):
-        sig = sigma_oct[i]
-        r = int(round(3 * LAMBDA_ORI * sig))
-        yy0, yy1 = max(1, int(y[i]) - r), min(H - 1, int(y[i]) + r + 1)
-        xx0, xx1 = max(1, int(x[i]) - r), min(W - 1, int(x[i]) + r + 1)
-        if yy1 <= yy0 or xx1 <= xx0:
-            out.append(np.zeros(0))
-            continue
-        m = grad_mag[yy0:yy1, xx0:xx1]
-        o = grad_ori[yy0:yy1, xx0:xx1]
-        gy, gx = np.mgrid[yy0:yy1, xx0:xx1]
-        d2 = (gy - y[i]) ** 2 + (gx - x[i]) ** 2
-        # square window, gaussian weight (IPOL keypoint_accumulate_orientation)
-        w = np.exp(-d2 / (2 * (LAMBDA_ORI * sig) ** 2)) * m
-        bins = np.rint(N_BINS / (2 * np.pi) * (o % (2 * np.pi))).astype(int) % N_BINS
-        hist = np.bincount(bins.ravel(), weights=w.ravel(), minlength=N_BINS)
-        for _ in range(6):
-            hist = (np.roll(hist, 1) + hist + np.roll(hist, -1)) / 3.0
-        mx = hist.max()
-        if mx <= 0:
-            out.append(np.zeros(0))
-            continue
-        angles = []
-        for b in range(N_BINS):
-            hp = hist[(b - 1) % N_BINS]
-            hc = hist[b]
-            hn = hist[(b + 1) % N_BINS]
-            if hc > hp and hc > hn and hc >= 0.8 * mx:
-                db = (hp - hn) / (2 * (hp + hn - 2 * hc)) if (hp + hn - 2 * hc) != 0 else 0.0
-                theta = 2 * np.pi * (b + 0.5 + db) / N_BINS
-                angles.append(theta if theta <= np.pi else theta - 2 * np.pi)
-        out.append(np.asarray(angles))
+        out.append(theta[i][peak[i]])
     return out
 
 
-def _descriptor(grad_mag, grad_ori, yc, xc, sigma, theta):
-    """One 128-d SIFT descriptor (4x4x8, trilinear, 0.2 clip, 512 quant)."""
-    H, W = grad_mag.shape
+def _descriptors_batch(grad_mag, grad_ori, yc, xc, sigma, theta):
+    """Chunked driver for :func:`_descriptors_batch_impl`."""
+    n = len(yc)
+    if n == 0:
+        return np.zeros((0, 128), dtype=np.float32)
+    lim_win = LAMBDA_DESCR * (N_HIST + 1.0) / N_HIST
+    r = int(math.ceil(lim_win * float(np.max(sigma)) * math.sqrt(2.0)))
+    return _chunked(
+        lambda a, b, c, d: _descriptors_batch_impl(grad_mag, grad_ori, a, b, c, d),
+        n, 8_000_000, (2 * r + 1) ** 2, np.asarray(yc), np.asarray(xc),
+        np.asarray(sigma), np.asarray(theta))
+
+
+def _descriptors_batch_impl(grad_mag, grad_ori, yc, xc, sigma, theta):
+    """Batched 128-d SIFT descriptors (4x4x8, trilinear, 0.2 clip, 512
+    quantization) for n (keypoint, orientation) jobs sharing one gradient
+    field.  One scatter-add over all samples of all jobs."""
+    n = len(yc)
+    if n == 0:
+        return np.zeros((0, 128), dtype=np.float32)
     lam = LAMBDA_DESCR
-    rad = lam * (N_HIST + 1.0) / N_HIST * sigma * math.sqrt(0.5) * 2  # cover rotated square
-    r = int(round(rad))
-    y0, y1 = max(1, int(yc) - r), min(H - 1, int(yc) + r + 1)
-    x0, x1 = max(1, int(xc) - r), min(W - 1, int(xc) + r + 1)
-    if y1 <= y0 or x1 <= x0:
-        return np.zeros(128, dtype=np.float32)
-    gy, gx = np.mgrid[y0:y1, x0:x1]
-    dy = (gy - yc).ravel()     # along rows ('x' in the IPOL frame)
-    dx = (gx - xc).ravel()     # along cols ('y' in the IPOL frame)
-    ct, st = math.cos(theta), math.sin(theta)
-    # rotate into the keypoint frame (IPOL row-major axes), in sigma units
-    u = (ct * dy + st * dx) / sigma
-    v = (-st * dy + ct * dx) / sigma
-    m = grad_mag[y0:y1, x0:x1].ravel()
-    o = grad_ori[y0:y1, x0:x1].ravel()
-
-    # the sampling window extends to lambda*(n+1)/n so border histogram
-    # cells (whose centers sit at +-lambda*(n-1)/n) receive full support
     lim_win = lam * (N_HIST + 1.0) / N_HIST
-    sel = (np.abs(u) < lim_win) & (np.abs(v) < lim_win)
-    u, v, m, o = u[sel], v[sel], m[sel], o[sel]
-    w = m * np.exp(-(u * u + v * v) / (2 * lam * lam))
-    ang = (o - theta) % (2 * np.pi)
+    r = int(math.ceil(lim_win * float(np.max(sigma)) * math.sqrt(2.0)))
 
-    # histogram grid: N_HIST cells of width 2*lambda/N_HIST centered on 0
+    m, yy, xx, inb = _extract_patches(grad_mag, np.rint(yc), np.rint(xc), r)
+    o = _extract_patches(grad_ori, np.rint(yc), np.rint(xc), r)[0]
+
+    dy = (yy - yc[:, None, None])      # along rows ('x' in the IPOL frame)
+    dx = (xx - xc[:, None, None])      # along cols ('y' in the IPOL frame)
+    ct = np.cos(theta)[:, None, None]
+    st = np.sin(theta)[:, None, None]
+    sig = np.asarray(sigma)[:, None, None]
+    u = (ct * dy + st * dx) / sig
+    v = (-st * dy + ct * dx) / sig
+
+    sel = (np.abs(u) < lim_win) & (np.abs(v) < lim_win) & inb
+    # flatten to the selected samples only: the rotated support covers about
+    # half of the gathered square patch
+    kp_idx = np.broadcast_to(np.arange(n, dtype=np.int64)[:, None, None],
+                             u.shape)[sel]
+    m = m[sel]
+    o = o[sel]
+    u = u[sel]
+    v = v[sel]
+    w = m * np.exp(-(u * u + v * v) / (2 * lam * lam))
+    ang = (o - np.asarray(theta, np.float32)[kp_idx]) % (2 * np.pi)
+
     cu = (u + lam) * N_HIST / (2 * lam) - 0.5
     cv = (v + lam) * N_HIST / (2 * lam) - 0.5
     co = ang * N_ORI / (2 * np.pi)
+    iu0 = np.floor(cu).astype(np.int64)
+    iv0 = np.floor(cv).astype(np.int64)
+    io0 = np.floor(co).astype(np.int64)
+    fu = (cu - iu0).astype(np.float64)
+    fv = (cv - iv0).astype(np.float64)
+    fo = (co - io0).astype(np.float64)
 
-    desc = np.zeros((N_HIST, N_HIST, N_ORI))
-    iu0 = np.floor(cu).astype(int)
-    iv0 = np.floor(cv).astype(int)
-    io0 = np.floor(co).astype(int)
-    fu = cu - iu0
-    fv = cv - iv0
-    fo = co - io0
+    desc = np.zeros(n * N_HIST * N_HIST * N_ORI)
     for du, wu in ((0, 1 - fu), (1, fu)):
         uu = iu0 + du
         mu = (uu >= 0) & (uu < N_HIST)
@@ -311,17 +367,20 @@ def _descriptor(grad_mag, grad_ori, yc, xc, sigma, theta):
             mv = mu & (vv >= 0) & (vv < N_HIST)
             for do, wo in ((0, 1 - fo), (1, fo)):
                 oo = (io0 + do) % N_ORI
-                wgt = w * wu * wv * wo
                 # IPOL flattening order: (u-cell, v-cell, orientation)
-                np.add.at(desc, (uu[mv], vv[mv], oo[mv]), wgt[mv])
+                flat = ((kp_idx * N_HIST + uu) * N_HIST + vv) * N_ORI + oo
+                wgt = (w * wu * wv * wo)[mv]
+                desc += np.bincount(flat[mv], weights=wgt,
+                                    minlength=len(desc))
 
-    d = desc.ravel()
-    nrm = np.linalg.norm(d)
-    if nrm > 0:
-        d = np.minimum(d, 0.2 * nrm)
-        nrm = np.linalg.norm(d)
-        d = np.minimum(np.floor(512.0 * d / nrm), 255.0)
-    return d.astype(np.float32)
+    desc = desc.reshape(n, 128)
+    nrm = np.linalg.norm(desc, axis=1, keepdims=True)
+    desc = np.minimum(desc, 0.2 * nrm)
+    nrm2 = np.linalg.norm(desc, axis=1, keepdims=True)
+    with np.errstate(invalid='ignore', divide='ignore'):
+        q = np.minimum(np.floor(512.0 * desc / nrm2), 255.0)
+    q[~np.isfinite(q)] = 0.0
+    return q.astype(np.float32)
 
 
 @functools.lru_cache(maxsize=2)
@@ -340,8 +399,6 @@ def keypoints_from_array(arr, thresh_dog=0.0133, n_octaves=8, n_scales=3,
     Returns (n, 132) float32 rows (x, y, scale, orientation, descriptor),
     the contract of the reference ctypes wrapper (sift.py:33-82).
     """
-    import jax.numpy as jnp
-
     arr = np.asarray(arr, dtype=np.float32)
     octaves = _build_scale_space(arr, n_octaves, n_scales)
 
@@ -380,15 +437,26 @@ def keypoints_from_array(arr, thresh_dog=0.0133, n_octaves=8, n_scales=3,
             sigma_oct = sigma / delta
 
             oris = _orientations(gmag, gori, ys, xs, sigma_oct, delta)
-            for i in range(sel.sum()):
-                for theta in oris[i]:
-                    d = _descriptor(gmag, gori, ys[i], xs[i], sigma_oct[i], theta)
-                    rows.append(np.concatenate([
-                        [xs[i] * delta, ys[i] * delta, sigma[i], theta], d]))
+            # flatten (keypoint, orientation) jobs and batch the descriptors
+            job_kp = []
+            job_theta = []
+            for i, angles in enumerate(oris):
+                for theta in angles:
+                    job_kp.append(i)
+                    job_theta.append(theta)
+            if not job_kp:
+                continue
+            job_kp = np.asarray(job_kp)
+            job_theta = np.asarray(job_theta)
+            descs = _descriptors_batch(gmag, gori, ys[job_kp], xs[job_kp],
+                                       sigma_oct[job_kp], job_theta)
+            heads = np.column_stack([xs[job_kp] * delta, ys[job_kp] * delta,
+                                     sigma[job_kp], job_theta])
+            rows.append(np.hstack([heads, descs]))
 
     if not rows:
         return np.zeros((0, 132), dtype=np.float32)
-    kp = np.asarray(rows, dtype=np.float32)
+    kp = np.vstack(rows).astype(np.float32)
     if offset is not None:
         kp[:, 0] += offset[0]
         kp[:, 1] += offset[1]

@@ -1,0 +1,588 @@
+"""Pipeline orchestrator: images + RPCs in, point clouds + DSM out.
+
+The 7-stage structure and the per-tile file contract of the reference
+(/root/reference/s2p/__init__.py; SURVEY.md section 3) are kept intact --
+they double as the checkpoint/resume mechanism (``--start_from``) -- while
+every compute stage dispatches to the in-process JAX/TPU engines instead of
+subprocess binaries:
+
+    1 pointing_correction     per tile x pair   (SIFT + median translation)
+    2 global_pointing         reduce            (affine fit over tiles)
+    3 rectification_pair      per tile x pair   (device warp)
+    4 stereo_matching         per tile x pair   (census + SGM on device)
+    5 disparity_to_ply / heights path           (device triangulation)
+    6 plys_to_dsm             per tile          (gaussian splatting)
+    7 global_dsm              reduce            (mosaic)
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+
+import numpy as np
+
+from . import runner, tiling
+from .config import Config, ImageSpec, read_config_file  # noqa: F401 (API)
+from .core import (fusion, masking, matching, pointing, rectification,
+                   rpc_geom, triangulation)
+from .geo import crs as crsmod
+from .geo import geotiff, ply as plymod, rpc_io
+from .ops import rasterize
+from .ops.filtering import filter_xyz
+from .ops.homography import image_apply_homography
+from .ops.morphology import despeckle_height_map
+
+
+# --------------------------------------------------------------------- #
+# Image cache: full decoded rasters, keyed by path
+# --------------------------------------------------------------------- #
+
+@functools.lru_cache(maxsize=8)
+def _image(path):
+    return geotiff.read(path).astype(np.float32)
+
+
+def clear_image_cache():
+    _image.cache_clear()
+
+
+def linear_stretching_and_quantization_8bit(img, p=1):
+    """Percentile-stretched uint8 quantization (reference common.py:284-297)."""
+    a, b = np.nanpercentile(img, (p, 100 - p))
+    return np.round(255 * (np.clip(img, a, b) - a) / max(b - a, 1e-9)) \
+        .astype(np.uint8)
+
+
+# --------------------------------------------------------------------- #
+# Config building
+# --------------------------------------------------------------------- #
+
+def build_cfg(user_cfg: dict) -> Config:
+    """Validate a user config and derive run parameters
+    (reference initialization.py:39-146)."""
+    d = dict(user_cfg)
+    if 'images' not in d or len(d['images']) < 2:
+        raise ValueError('missing paths to input images')
+
+    images = []
+    for img in d['images']:
+        spec = img if isinstance(img, ImageSpec) else ImageSpec(
+            **{k: img[k] for k in ('img', 'rpc', 'clr', 'cld', 'roi', 'wat')
+               if k in img})
+        for f in ('img', 'clr', 'cld', 'roi', 'wat'):
+            v = getattr(spec, f)
+            if v is not None and not os.path.isabs(v):
+                setattr(spec, f, os.path.abspath(v))
+        if spec.rpc is not None:
+            spec.rpcm = rpc_io.load_rpc(spec.rpc)
+        else:
+            spec.rpcm = rpc_io.rpc_from_geotiff(spec.img)
+        images.append(spec)
+    d['images'] = tuple(images)
+
+    # resolve the ROI
+    if d.get('full_img'):
+        prof = geotiff.read_profile(images[0].img)
+        d['roi'] = {'x': 0, 'y': 0, 'w': prof.width, 'h': prof.height}
+    elif 'roi' in d and all(k in d['roi'] for k in 'xywh'):
+        pass
+    elif 'roi_geojson' in d:
+        ll_poly = read_lon_lat_poly_from_geojson(d['roi_geojson'])
+        d['roi'] = rpc_geom.roi_process(
+            images[0].rpcm, ll_poly, use_srtm=d.get('use_srtm', False),
+            exogenous_dem=d.get('exogenous_dem'),
+            exogenous_dem_geoid_mode=d.get('exogenous_dem_geoid_mode', True))
+    else:
+        raise ValueError('missing or incomplete roi definition')
+    d['roi'] = {'x': int(np.floor(d['roi']['x'])),
+                'y': int(np.floor(d['roi']['y'])),
+                'w': int(np.ceil(d['roi']['w'])),
+                'h': int(np.ceil(d['roi']['h']))}
+
+    cfg = Config.from_user_dict(d)
+
+    # output CRS: local UTM zone unless specified
+    if cfg.out_crs is None:
+        r = cfg.roi
+        zone = rpc_geom.utm_zone(images[0].rpcm, r['x'], r['y'], r['w'], r['h'])
+        epsg = crsmod.epsg_code_from_utm_zone(zone)
+        out_crs = f'epsg:{epsg}'
+        if cfg.out_geoid:
+            out_crs += '+5773'
+        cfg = cfg.replace(out_crs=out_crs)
+    crsmod.CRS(cfg.out_crs)  # validate
+
+    cfg = cfg.replace(gsd=rpc_geom.gsd_from_rpc(images[0].rpcm))
+    return cfg
+
+
+def read_lon_lat_poly_from_geojson(poly):
+    """Parity: reference geographiclib.py:177-201 (no geojson dependency)."""
+    if isinstance(poly, str):
+        with open(poly) as f:
+            a = json.load(f)
+    else:
+        a = poly
+    if a['type'] == 'FeatureCollection':
+        a = a['features'][0]
+    if a['type'] == 'Feature':
+        a = a['geometry']
+    return np.asarray(a['coordinates'][0])
+
+
+def _alt_kwargs(cfg: Config):
+    return dict(exogenous_dem=cfg.exogenous_dem,
+                exogenous_dem_geoid_mode=cfg.exogenous_dem_geoid_mode,
+                use_srtm=cfg.use_srtm,
+                rpc_alt_range_scale_factor=cfg.rpc_alt_range_scale_factor)
+
+
+# --------------------------------------------------------------------- #
+# Stage 1-2: pointing
+# --------------------------------------------------------------------- #
+
+def pointing_correction(cfg: Config, tile, i):
+    """Stage 1 (reference __init__.py:49-82): per-tile pointing translation."""
+    x, y, w, h = tile['coordinates']
+    out_dir = os.path.join(tile['dir'], f'pair_{i}')
+    img1, img2 = cfg.images[0], cfg.images[i]
+    method = 'relative' if cfg.relative_sift_match_thresh else 'absolute'
+    A, m = pointing.compute_correction(
+        _image(img1.img), _image(img2.img), img1.rpcm, img2.rpcm, x, y, w, h,
+        method, cfg.sift_match_thresh, cfg.max_pointing_error,
+        cfg.n_gcp_per_axis, **_alt_kwargs(cfg))
+    if A is not None:
+        np.savetxt(os.path.join(out_dir, 'pointing.txt'), A, fmt='%6.3f')
+    if m is not None:
+        np.savetxt(os.path.join(out_dir, 'sift_matches.txt'), m, fmt='%9.3f')
+        np.savetxt(os.path.join(out_dir, 'center_keypts_sec.txt'),
+                   np.mean(m[:, 2:], 0), fmt='%9.3f')
+
+
+def global_pointing_correction(cfg: Config, tiles):
+    """Stage 2 (reference __init__.py:85-99): gather per-tile corrections."""
+    for i in range(1, len(cfg.images)):
+        corrections = []
+        for t in tiles:
+            d = os.path.join(t['dir'], f'pair_{i}')
+            pf = os.path.join(d, 'pointing.txt')
+            cf_ = os.path.join(d, 'center_keypts_sec.txt')
+            if os.path.isfile(pf) and os.path.isfile(cf_):
+                corrections.append((np.loadtxt(pf), np.loadtxt(cf_)))
+        out = os.path.join(cfg.out_dir, f'global_pointing_pair_{i}.txt')
+        np.savetxt(out, pointing.global_from_local(corrections), fmt='%12.6f')
+
+
+# --------------------------------------------------------------------- #
+# Stage 3: rectification
+# --------------------------------------------------------------------- #
+
+def rectification_pair(cfg: Config, tile, i):
+    """Stage 3 (reference __init__.py:102-163): rectify a tile pair with the
+    SIFT-match halo from the 8 neighboring tiles."""
+    out_dir = os.path.join(tile['dir'], f'pair_{i}')
+    x, y, w, h = tile['coordinates']
+    img1, img2 = cfg.images[0], cfg.images[i]
+    pointing_file = os.path.join(cfg.out_dir, f'global_pointing_pair_{i}.txt')
+    try:
+        A = np.loadtxt(os.path.join(out_dir, 'pointing.txt'))
+    except OSError:
+        A = np.loadtxt(pointing_file)
+    try:
+        m = np.loadtxt(os.path.join(out_dir, 'sift_matches.txt'))
+        if m.ndim == 1:
+            m = m.reshape(-1, 4)
+    except OSError:
+        m = None
+
+    # neighbor halo: matches inside an ellipse of semi-axes (3w/4, 3h/4)
+    cur_dir = os.path.realpath(out_dir)
+    for n in tile['neighborhood_dirs']:
+        nei_dir = os.path.join(tile['dir'], n, f'pair_{i}')
+        if not os.path.exists(nei_dir) or os.path.realpath(nei_dir) == cur_dir:
+            continue
+        try:
+            m_n = np.loadtxt(os.path.join(nei_dir, 'sift_matches.txt'))
+        except OSError:
+            continue
+        if m_n.ndim == 1:
+            m_n = m_n.reshape(-1, 4)
+        keep = np.linalg.norm(
+            [(m_n[:, 0] - (x + w / 2)) / w,
+             (m_n[:, 1] - (y + h / 2)) / h], axis=0) < 3 / 4
+        m_n = m_n[keep]
+        m = m_n if m is None else np.concatenate([m, m_n])
+
+    rect1, rect2, H1, H2, disp_min, disp_max = rectification.rectify_pair(
+        cfg, _image(img1.img), _image(img2.img), img1.rpcm, img2.rpcm,
+        x, y, w, h, A=A, sift_matches=m, method=cfg.rectification_method,
+        hmargin=cfg.horizontal_margin, vmargin=cfg.vertical_margin)
+
+    geotiff.write(os.path.join(out_dir, 'rectified_ref.tif'), rect1)
+    geotiff.write(os.path.join(out_dir, 'rectified_sec.tif'), rect2)
+    np.savetxt(os.path.join(out_dir, 'H_ref.txt'), H1, fmt='%12.6f')
+    np.savetxt(os.path.join(out_dir, 'H_sec.txt'), H2, fmt='%12.6f')
+    np.savetxt(os.path.join(out_dir, 'disp_min_max.txt'),
+               [disp_min, disp_max], fmt='%3.1f')
+
+
+# --------------------------------------------------------------------- #
+# Stage 4: stereo matching
+# --------------------------------------------------------------------- #
+
+def stereo_matching(cfg: Config, tile, i):
+    """Stage 4 (reference __init__.py:166-196): disparity of a tile pair."""
+    out_dir = os.path.join(tile['dir'], f'pair_{i}')
+    rect1 = geotiff.read(os.path.join(out_dir, 'rectified_ref.tif'))
+    rect2 = geotiff.read(os.path.join(out_dir, 'rectified_sec.tif'))
+    disp_min, disp_max = np.loadtxt(os.path.join(out_dir, 'disp_min_max.txt'))
+
+    disp, mask, conf = matching.compute_disparity_map(
+        cfg, rect1, rect2, disp_min, disp_max)
+
+    if cfg.msk_erosion >= 2:
+        mask = masking.erosion(mask.astype(bool), cfg.msk_erosion) \
+            .astype(np.uint8)
+        disp = np.where(mask, disp, np.nan).astype(np.float32)
+
+    geotiff.write(os.path.join(out_dir, 'rectified_disp.tif'), disp,
+                  nodata=float('nan'))
+    geotiff.write_png(os.path.join(out_dir, 'rectified_mask.png'),
+                      (mask * 255).astype(np.uint8))
+    if conf is not None:
+        geotiff.write(os.path.join(out_dir, 'rectified_disp_confidence.tif'),
+                      np.asarray(conf, dtype=np.float32))
+
+
+# --------------------------------------------------------------------- #
+# Stage 5: triangulation
+# --------------------------------------------------------------------- #
+
+def _tile_colors(cfg: Config, tile, shape_like):
+    """Colors for the point cloud: clr image warped to the rectified frame,
+    or the 8-bit stretched rectified reference (reference __init__.py:263-284).
+    """
+    out_dir = tile['dir']
+    hh, ww = shape_like
+    H_ref = np.loadtxt(os.path.join(out_dir, 'pair_1', 'H_ref.txt'))
+    if cfg.images[0].clr:
+        clr = _image(cfg.images[0].clr)
+        warped = image_apply_homography(clr, H_ref, ww, hh)
+        return linear_stretching_and_quantization_8bit(warped)[None]
+    img = geotiff.read(os.path.join(out_dir, 'pair_1', 'rectified_ref.tif'))
+    return linear_stretching_and_quantization_8bit(img)[None]
+
+
+def disparity_to_ply(cfg: Config, tile):
+    """Stage 5, pair mode (reference __init__.py:242-318)."""
+    out_dir = tile['dir']
+    x, y, w, h = tile['coordinates']
+    rpc1, rpc2 = cfg.images[0].rpcm, cfg.images[1].rpcm
+    pdir = os.path.join(out_dir, 'pair_1')
+
+    H_ref = np.loadtxt(os.path.join(pdir, 'H_ref.txt'))
+    H_sec = np.loadtxt(os.path.join(pdir, 'H_sec.txt'))
+    pointing_file = os.path.join(cfg.out_dir, 'global_pointing_pair_1.txt')
+    disp = geotiff.read(os.path.join(pdir, 'rectified_disp.tif'))
+    mask_rect = geotiff.read_png(os.path.join(pdir, 'rectified_mask.png'))
+    mask_orig = geotiff.read_png(os.path.join(out_dir, 'mask.png'))
+
+    extra = os.path.join(pdir, 'rectified_disp_confidence.tif')
+    confidence = geotiff.read(extra) if os.path.exists(extra) else None
+
+    xyz, err = triangulation.disp_to_xyz(
+        rpc1, rpc2, H_ref, H_sec, disp, mask_rect,
+        img_bbx=(x, x + w, y, y + h), mask_orig=mask_orig,
+        A=np.loadtxt(pointing_file), out_crs=crsmod.CRS(cfg.out_crs))
+
+    if cfg.filtering_3d_r and cfg.filtering_3d_n:
+        filter_xyz(xyz, cfg.filtering_3d_r, cfg.filtering_3d_n, cfg.gsd)
+
+    colors = _tile_colors(cfg, tile, disp.shape)
+    proj_com = 'CRS {}'.format(cfg.out_crs)
+    _write_tile_cloud(os.path.join(out_dir, 'cloud.ply'), xyz, colors,
+                      proj_com, confidence)
+
+
+def _write_tile_cloud(path, xyz, colors, proj_com, confidence=None):
+    """Flatten an xyz grid into a PLY cloud, dropping NaN points
+    (reference triangulation.py:392-429)."""
+    pts = xyz.reshape(-1, 3)
+    valid = np.all(np.isfinite(pts), axis=1)
+    col_list = None
+    if colors is not None:
+        col_list = colors.transpose(1, 2, 0).reshape(-1, colors.shape[0])[valid]
+    extra = extra_names = None
+    if confidence is not None:
+        extra = confidence.reshape(-1)[valid].astype(np.float32)
+        extra_names = ['confidence']
+    plymod.write_ply(path, pts[valid], colors=col_list, extra=extra,
+                     extra_names=extra_names,
+                     comments=['created by S2P-TPU',
+                               'projection: {}'.format(proj_com)])
+
+
+def disparity_to_height(cfg: Config, tile, i):
+    """Stage 5a, triplet mode (reference __init__.py:199-239)."""
+    out_dir = os.path.join(tile['dir'], f'pair_{i}')
+    x, y, w, h = tile['coordinates']
+    rpc1, rpc2 = cfg.images[0].rpcm, cfg.images[i].rpcm
+    H_ref = np.loadtxt(os.path.join(out_dir, 'H_ref.txt'))
+    H_sec = np.loadtxt(os.path.join(out_dir, 'H_sec.txt'))
+    disp = geotiff.read(os.path.join(out_dir, 'rectified_disp.tif'))
+    mask_rect = geotiff.read_png(os.path.join(out_dir, 'rectified_mask.png'))
+    mask_orig = geotiff.read_png(os.path.join(tile['dir'], 'mask.png'))
+    pointing_file = os.path.join(cfg.out_dir, f'global_pointing_pair_{i}.txt')
+
+    hmap = triangulation.height_map(x, y, w, h, rpc1, rpc2, H_ref, H_sec,
+                                    disp, mask_rect, mask_orig,
+                                    A=np.loadtxt(pointing_file))
+    geotiff.write(os.path.join(out_dir, 'height_map.tif'),
+                  hmap.astype(np.float32), nodata=float('nan'))
+
+
+def mean_heights(cfg: Config, tile):
+    """Stage 5b (reference __init__.py:321-340)."""
+    w, h = tile['coordinates'][2:]
+    n = len(cfg.images) - 1
+    maps = np.full((h, w, n), np.nan)
+    for i in range(n):
+        p = os.path.join(tile['dir'], f'pair_{i + 1}', 'height_map.tif')
+        if os.path.exists(p):
+            maps[:, :, i] = geotiff.read(p)
+    validity = maps.sum(axis=2)               # nan propagates
+    validity += 1 - validity                  # 1 on valid, nan on invalid
+    np.savetxt(os.path.join(tile['dir'], 'local_mean_heights.txt'),
+               [np.nanmean(validity * maps[:, :, i]) for i in range(n)])
+
+
+def global_mean_heights(cfg: Config, tiles):
+    """Stage 5c (reference __init__.py:343-352)."""
+    locals_ = [np.loadtxt(os.path.join(t['dir'], 'local_mean_heights.txt'))
+               for t in tiles]
+    g = np.nanmean(np.atleast_2d(locals_), axis=0)
+    for i in range(len(cfg.images) - 1):
+        np.savetxt(os.path.join(cfg.out_dir,
+                                f'global_mean_height_pair_{i + 1}.txt'),
+                   [np.atleast_1d(g)[i]])
+
+
+def heights_fusion(cfg: Config, tile):
+    """Stage 5d part 1 (reference __init__.py:355-385)."""
+    tile_dir = tile['dir']
+    n = len(cfg.images) - 1
+    paths = [os.path.join(tile_dir, f'pair_{i + 1}', 'height_map.tif')
+             for i in range(n)]
+    maps = []
+    for p in paths:
+        hm = geotiff.read(p)
+        if cfg.cargarse_basura:
+            hm = despeckle_height_map(hm)
+            geotiff.write(p, hm.astype(np.float32), nodata=float('nan'))
+        maps.append(hm)
+    offsets = [float(np.loadtxt(os.path.join(
+        cfg.out_dir, f'global_mean_height_pair_{i + 1}.txt')))
+        for i in range(n)]
+    merged = fusion.merge_n_arrays(maps, offsets, cfg.fusion_operator,
+                                   cfg.fusion_thresh)
+    geotiff.write(os.path.join(tile_dir, 'height_map.tif'),
+                  merged.astype(np.float32), nodata=float('nan'))
+
+
+def heights_to_ply(cfg: Config, tile):
+    """Stage 5d part 2 (reference __init__.py:388-429)."""
+    heights_fusion(cfg, tile)
+    out_dir = tile['dir']
+    x, y, w, h = tile['coordinates']
+    hmap = geotiff.read(os.path.join(out_dir, 'height_map.tif'))
+
+    if cfg.images[0].clr:
+        colors = _image(cfg.images[0].clr)[y:y + h, x:x + w]
+        colors = linear_stretching_and_quantization_8bit(colors)[None]
+    else:
+        img = _image(cfg.images[0].img)[y:y + h, x:x + w]
+        colors = linear_stretching_and_quantization_8bit(img)[None]
+
+    xyz = triangulation.height_map_to_xyz(hmap, cfg.images[0].rpcm, x, y,
+                                          crsmod.CRS(cfg.out_crs))
+    if cfg.filtering_3d_r and cfg.filtering_3d_n:
+        filter_xyz(xyz, cfg.filtering_3d_r, cfg.filtering_3d_n, cfg.gsd)
+    _write_tile_cloud(os.path.join(out_dir, 'cloud.ply'), xyz, colors,
+                      'CRS {}'.format(cfg.out_crs))
+
+
+# --------------------------------------------------------------------- #
+# Stage 6-7: rasterization and mosaic
+# --------------------------------------------------------------------- #
+
+def plys_to_dsm(cfg: Config, tile):
+    """Stage 6 (reference __init__.py:432-476): rasterize the tile cloud
+    together with its 8 neighbors' clouds (the splat halo)."""
+    out_dsm = os.path.join(tile['dir'], 'dsm.tif')
+    out_conf = os.path.join(tile['dir'], 'confidence.tif')
+    r = cfg.dsm_resolution
+
+    own = os.path.join(tile['dir'], 'cloud.ply')
+    if not os.path.exists(own):
+        return
+    points, _ = plymod.read_ply(own)
+    if len(points) == 0:
+        return
+    xmin, ymin = points[:, 0].min(), points[:, 1].min()
+    xmax, ymax = points[:, 0].max(), points[:, 1].max()
+    xoff, yoff, xsize, ysize = rasterize.grid_from_roi(xmin, ymin, xmax, ymax, r)
+
+    clouds = [os.path.join(tile['dir'], n, 'cloud.ply')
+              for n in tile['neighborhood_dirs']]
+    clouds = [c for c in clouds if os.path.exists(c)] or [own]
+    raster, profile = rasterize.plyflatten_from_plyfiles_list(
+        clouds, resolution=r, roi=(xoff, yoff, xsize, ysize),
+        radius=cfg.dsm_radius, sigma=cfg.dsm_sigma)
+    profile = profile.copy(crs=crsmod.CRS(cfg.out_crs))
+
+    geotiff.write(out_dsm, raster[:, :, 0].astype(np.float32), profile=profile)
+    if raster.shape[-1] == 5:
+        geotiff.write(out_conf, raster[:, :, 4].astype(np.float32),
+                      profile=profile)
+
+
+def _merge_rasters(paths, out_path, res, bounds=None):
+    """'first'-wins mosaic of georeferenced rasters onto a common grid
+    (the rasterio.merge.merge call of reference __init__.py:510-525)."""
+    profs = [geotiff.read_profile(p) for p in paths]
+    if bounds is None:
+        xs0 = [pr.transform[2] for pr in profs]
+        ys1 = [pr.transform[5] for pr in profs]
+        xs1 = [pr.transform[2] + pr.width * res for pr in profs]
+        ys0 = [pr.transform[5] - pr.height * res for pr in profs]
+        bounds = (min(xs0), min(ys0), max(xs1), max(ys1))
+    left, bottom, right, top = bounds
+    W = int(round((right - left) / res))
+    H = int(round((top - bottom) / res))
+    out = np.full((H, W), np.nan, dtype=np.float32)
+    for p, pr in zip(paths, profs):
+        arr = geotiff.read_with_nans(p)
+        j0 = int(round((pr.transform[2] - left) / res))
+        i0 = int(round((top - pr.transform[5]) / res))
+        hh, ww = arr.shape
+        i1 = min(i0 + hh, H)
+        j1 = min(j0 + ww, W)
+        ci0, cj0 = max(-i0, 0), max(-j0, 0)
+        if i1 <= max(i0, 0) or j1 <= max(j0, 0):
+            continue
+        dst = out[max(i0, 0):i1, max(j0, 0):j1]
+        src = arr[ci0:ci0 + dst.shape[0], cj0:cj0 + dst.shape[1]]
+        np.copyto(dst, src, where=np.isnan(dst) & np.isfinite(src))
+    geotiff.write(out_path, out,
+                  crs=profs[0].crs,
+                  transform=(res, 0.0, left, 0.0, -res, top),
+                  nodata=float('nan'), compress='deflate', tiled=True)
+    return out
+
+
+def global_dsm(cfg: Config, tiles):
+    """Stage 7 (reference __init__.py:479-525): global DSM + confidence."""
+    bounds = None
+    if cfg.roi_geojson is not None:
+        ll_poly = read_lon_lat_poly_from_geojson(cfg.roi_geojson)
+        out_crs = crsmod.CRS(cfg.out_crs)
+        xs, ys = crsmod.transform(ll_poly[:, 0], ll_poly[:, 1], 4326, out_crs)
+        a = cfg.dsm_resolution
+        bounds = (a * np.floor(xs.min() / a), a * np.floor(ys.min() / a),
+                  a * np.ceil(xs.max() / a), a * np.ceil(ys.max() / a))
+
+    dsms = [os.path.join(t['dir'], 'dsm.tif') for t in tiles]
+    dsms = [d for d in dsms if os.path.exists(d)]
+    confs = [os.path.join(t['dir'], 'confidence.tif') for t in tiles]
+    confs = [c for c in confs if os.path.exists(c)]
+    if dsms:
+        _merge_rasters(dsms, os.path.join(cfg.out_dir, 'dsm.tif'),
+                       cfg.dsm_resolution, bounds)
+    if confs:
+        _merge_rasters(confs, os.path.join(cfg.out_dir, 'confidence.tif'),
+                       cfg.dsm_resolution, bounds)
+
+
+# --------------------------------------------------------------------- #
+# Driver
+# --------------------------------------------------------------------- #
+
+def main(user_cfg, start_from=0):
+    """Run the full pipeline (reference __init__.py:528-646)."""
+    cfg = build_cfg(user_cfg)
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    cfg.dump_json(os.path.join(cfg.out_dir, 'config.json'))
+
+    nb_workers = cfg.max_processes or min(8, os.cpu_count() or 1)
+    tw, th = tiling.adjust_tile_size(cfg)
+    tiles_txt = os.path.join(cfg.out_dir, 'tiles.txt')
+    tiles = tiling.tiles_full_info(cfg, tw, th, tiles_txt, create_masks=True,
+                                   runner=runner.PoolRunner(nb_workers,
+                                                            cfg.timeout))
+    if not tiles:
+        raise RuntimeError(
+            'the ROI is not seen in two images or is totally masked')
+
+    if start_from > 0:
+        assert os.path.exists(tiles_txt), (
+            f'start_from set to {start_from} but tiles.txt not found in '
+            f'{cfg.out_dir!r}')
+    else:
+        with open(tiles_txt, 'w') as f:
+            for t in tiles:
+                print(t['json'], file=f)
+
+    n = len(cfg.images)
+    tiles_pairs = [(t, i) for i in range(1, n) for t in tiles]
+    timeout = cfg.timeout
+
+    if start_from <= 1:
+        print('1) correcting pointing locally...')
+        runner.launch_calls(lambda t, i: pointing_correction(cfg, t, i),
+                            tiles_pairs, nb_workers, timeout=timeout,
+                            debug=cfg.debug)
+    if start_from <= 2:
+        print('2) correcting pointing globally...')
+        global_pointing_correction(cfg, tiles)
+    if start_from <= 3:
+        print('3) rectifying tiles...')
+        runner.launch_calls(lambda t, i: rectification_pair(cfg, t, i),
+                            tiles_pairs, nb_workers, timeout=timeout,
+                            debug=cfg.debug)
+    if start_from <= 4:
+        print('4) running stereo matching...')
+        nb_stereo = cfg.max_processes_stereo_matching or nb_workers
+        runner.launch_calls(lambda t, i: stereo_matching(cfg, t, i),
+                            tiles_pairs, nb_stereo, timeout=cfg.mgm_timeout,
+                            debug=cfg.debug)
+    if start_from <= 5:
+        if n > 2:
+            print('5a) computing height maps...')
+            runner.launch_calls(lambda t, i: disparity_to_height(cfg, t, i),
+                                tiles_pairs, nb_workers, timeout=timeout,
+                                debug=cfg.debug)
+            print('5b) computing local pairwise height offsets...')
+            runner.launch_calls(lambda t: mean_heights(cfg, t), tiles,
+                                nb_workers, timeout=timeout, debug=cfg.debug)
+            print('5c) computing global pairwise height offsets...')
+            global_mean_heights(cfg, tiles)
+            print('5d) merging height maps and computing point clouds...')
+            runner.launch_calls(lambda t: heights_to_ply(cfg, t), tiles,
+                                nb_workers, timeout=timeout, debug=cfg.debug)
+        else:
+            print('5) triangulating tiles...')
+            runner.launch_calls(lambda t: disparity_to_ply(cfg, t), tiles,
+                                nb_workers, timeout=timeout, debug=cfg.debug)
+    if start_from <= 6:
+        print('6) computing DSM by tile...')
+        runner.launch_calls(lambda t: plys_to_dsm(cfg, t), tiles, nb_workers,
+                            timeout=timeout, debug=cfg.debug)
+    if start_from <= 7:
+        print('7) computing global DSM...')
+        global_dsm(cfg, tiles)
+
+    clear_image_cache()
+    return cfg
