@@ -24,14 +24,23 @@ from ..geo import crs as crsmod
 from ..geo.rpc import (RpcParams, localize_jax, triangulate_height_jax)
 
 
-def _recenter_params(params: RpcParams, dx, dy, dtype=np.float32) -> RpcParams:
-    """Shift the image-space offsets so pixel coordinates become tile-local.
+def _recenter_params(params: RpcParams, dx, dy, lon0=0.0, lat0=0.0,
+                     dtype=np.float32) -> RpcParams:
+    """Shift the image-space offsets (and optionally the geographic offsets)
+    so every on-device value is small.
 
-    Keeps all values O(1e3) so the float32 device solve loses no precision
-    on large satellite frames (reference works in f64 full-frame coords).
+    Pixel recentering keeps coordinates O(1e3) on large satellite frames;
+    the geographic anchor (lon0, lat0) is subtracted from the lon/lat
+    offsets in float64 so that the lon/lat values flowing between the
+    localization and projection stages of the two-ray solve stay O(0.1)
+    degree -- a raw float32 longitude (~55 deg) is quantized to a ~0.4 m
+    ground grid, which was measured to bias altitudes by ~0.3 m.
+    The recovered anchor must be added back host-side.
     """
     p = params.astype(np.float64)
-    p = p._replace(col_offset=p.col_offset - dx, row_offset=p.row_offset - dy)
+    p = p._replace(col_offset=p.col_offset - dx, row_offset=p.row_offset - dy,
+                   lon_offset=p.lon_offset - lon0,
+                   lat_offset=p.lat_offset - lat0)
     return p.astype(dtype)
 
 
@@ -119,8 +128,9 @@ def disp_to_xyz(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx, mask_orig,
     T = np.array([[1, 0, -col_min], [0, 1, -row_min], [0, 0, 1]], dtype=np.float64)
     h1_inv = np.linalg.inv(np.asarray(H1, dtype=np.float64))
     h2_inv = np.linalg.inv(np.asarray(H2, dtype=np.float64))
-    rpc1_rc = _recenter_params(rpc1.params(), col_min, row_min)
-    rpc2_rc = _recenter_params(rpc2.params(), col_min, row_min)
+    lon0, lat0 = rpc1.lon_offset, rpc1.lat_offset
+    rpc1_rc = _recenter_params(rpc1.params(), col_min, row_min, lon0, lat0)
+    rpc2_rc = _recenter_params(rpc2.params(), col_min, row_min, lon0, lat0)
     h1_inv_rc = (T @ h1_inv).astype(np.float32)
     h2_inv_rc = (T @ h2_inv).astype(np.float32)
 
@@ -133,8 +143,8 @@ def disp_to_xyz(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx, mask_orig,
         jnp.asarray(base_valid), jnp.asarray(h1_inv_rc), jnp.asarray(h2_inv_rc),
         _to_jax(rpc1_rc), _to_jax(rpc2_rc))
 
-    lon = np.array(lon, dtype=np.float64)
-    lat = np.array(lat, dtype=np.float64)
+    lon = np.array(lon, dtype=np.float64) + lon0
+    lat = np.array(lat, dtype=np.float64) + lat0
     alt = np.array(alt, dtype=np.float64)
     err = np.array(err, dtype=np.float32)
     px = np.asarray(px)
@@ -181,16 +191,17 @@ def stereo_corresp_to_xyz(rpc1, rpc2, pts1, pts2, out_crs=None):
     pts2 = np.asarray(pts2, dtype=np.float64)
     cx = pts1[:, 0].mean()
     cy = pts1[:, 1].mean()
-    r1 = _recenter_params(rpc1.params(), cx, cy)
-    r2 = _recenter_params(rpc2.params(), cx, cy)
+    lon0, lat0 = rpc1.lon_offset, rpc1.lat_offset
+    r1 = _recenter_params(rpc1.params(), cx, cy, lon0, lat0)
+    r2 = _recenter_params(rpc2.params(), cx, cy, lon0, lat0)
     xa = jnp.asarray(pts1[:, 0] - cx, dtype=jnp.float32)
     ya = jnp.asarray(pts1[:, 1] - cy, dtype=jnp.float32)
     xb = jnp.asarray(pts2[:, 0] - cx, dtype=jnp.float32)
     yb = jnp.asarray(pts2[:, 1] - cy, dtype=jnp.float32)
     alt, err = triangulate_height_jax(_to_jax(r1), _to_jax(r2), xa, ya, xb, yb)
     lon, lat = localize_jax(_to_jax(r1), xa, ya, alt)
-    lon = np.asarray(lon, dtype=np.float64)
-    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64) + lon0
+    lat = np.asarray(lat, dtype=np.float64) + lat0
     alt = np.asarray(alt, dtype=np.float64)
     if out_crs is not None and crsmod.CRS(out_crs) != crsmod.CRS(4979):
         x, y, z = crsmod.transform(lon, lat, 4979, out_crs, alt)
