@@ -49,6 +49,7 @@ class SgmParams:
     lr_tau: float = 1.0         # TESTLRRL_TAU
     lr_enabled: bool = True     # TESTLRRL
     speckle_min_area: int = 0   # REMOVESMALLCC (0 = off)
+    mgm: bool = True            # 2-neighbor MGM recursion vs classic SGM
 
 
 def _min_convolution(L, p1, p2):
@@ -63,41 +64,62 @@ def _min_convolution(L, p1, p2):
     return jnp.minimum(jnp.minimum(L, jnp.minimum(lm, lp) + p1), m + p2) - m
 
 
-def _scan_pass(cost, dx, dy, p1, p2):
+def _shifted_carry(L_prev, shift):
+    """Roll the carry laterally; returns (rolled L, edge mask of rolled-in
+    lanes that have no predecessor)."""
+    if shift == 0:
+        return L_prev, jnp.zeros(L_prev.shape[0], dtype=bool)
+    Lp = jnp.roll(L_prev, shift, axis=0)
+    edge = jnp.zeros(L_prev.shape[0], dtype=bool)
+    if shift > 0:
+        edge = edge.at[:shift].set(True)
+    else:
+        edge = edge.at[shift:].set(True)
+    return Lp, edge
+
+
+def _scan_pass(cost, dx, dy, p1, p2, mgm=True):
     """One directional aggregation L_r over the whole volume.
 
-    The scan axis is y when dy != 0, else x; dx shifts the carry laterally
-    for diagonal paths.  Returns the aggregated (H, W, D) volume.
+    With ``mgm`` (the reference's More Global Matching recursion,
+    Facciolo BMVC'15), each pass averages the penalty contributions of TWO
+    predecessor directions: the scan direction r and its 45-degree rotation
+    toward the scan axis -- both predecessors then live in the previous
+    scan line, so every pass stays one vectorized ``lax.scan`` (the
+    traversal reads 2 neighbors from the previous row, exactly the mgm
+    scheme; SURVEY.md 2.3).  With mgm=False this is classic SGM.
+
+    The scan axis is y when dy != 0, else x; the lateral carry offset
+    handles diagonal predecessors.  Returns the (H, W, D) volume.
     """
     if dy == 0:
-        # horizontal: scan over x, carry (H, D)
+        # horizontal: scan over x, carry (H, D); lateral axis = y
         vol = jnp.swapaxes(cost, 0, 1)          # (W, H, D)
         flip = dx < 0
+        main_lat = 0
+        partner_lat = dx                        # partner (dx, dx): dy offset
     else:
         vol = cost                               # (H, W, D)
         flip = dy < 0
+        main_lat = dx                            # diagonal predecessor
+        # partner of a diagonal is the axis direction (0, dy) -> lateral 0;
+        # partner of an axis vertical dir is the diagonal (dy, dy) -> dy
+        partner_lat = 0 if dx != 0 else dy
     if flip:
         vol = vol[::-1]
-    # for diagonal paths the predecessor sits at x - dx on the previous row;
-    # this offset is unchanged by the vertical flip
-    lateral = dx if dy != 0 else 0
 
     def step(carry, c_row):
         L_prev, first = carry
-        if lateral:
-            # predecessor of (x, y) along (dx, dy) lies at x - dx in the
-            # previous row; rolling the carry by +dx aligns it
-            Lp = jnp.roll(L_prev, lateral, axis=0)
-            edge = jnp.zeros(L_prev.shape[0], dtype=bool)
-            if lateral > 0:
-                edge = edge.at[:lateral].set(True)
-            else:
-                edge = edge.at[lateral:].set(True)
+        Lp1, edge1 = _shifted_carry(L_prev, main_lat)
+        c1 = _min_convolution(Lp1, p1, p2)
+        c1 = jnp.where((first | edge1)[:, None], 0.0, c1)
+        if mgm:
+            Lp2, edge2 = _shifted_carry(L_prev, partner_lat)
+            c2 = _min_convolution(Lp2, p1, p2)
+            c2 = jnp.where((first | edge2)[:, None], 0.0, c2)
+            contrib = 0.5 * (c1 + c2)
         else:
-            Lp = L_prev
-            edge = jnp.zeros(L_prev.shape[0], dtype=bool)
-        contrib = _min_convolution(Lp, p1, p2)
-        contrib = jnp.where((first | edge)[:, None], 0.0, contrib)
+            contrib = c1
         L = c_row + contrib
         return (L, jnp.zeros((), bool)), L
 
@@ -185,7 +207,7 @@ def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams):
     S = jnp.zeros_like(cost)
     votes = []
     for (dx, dy) in dirs:
-        L = _scan_pass(cost, dx, dy, p1, p2)
+        L = _scan_pass(cost, dx, dy, p1, p2, params.mgm)
         votes.append(jnp.argmin(L, axis=-1))
         S = S + L
 

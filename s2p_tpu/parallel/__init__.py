@@ -1,0 +1,3 @@
+"""Multi-device execution: tile mesh, sharded stage steps, collectives."""
+
+from .mesh import TileMesh, batch_tiles, sharded_matching_step  # noqa: F401
