@@ -21,6 +21,8 @@ sys.path.insert(0, '/root/repo')
 
 def main():
     import jax
+    from s2p_tpu import device
+    device.configure()
     from s2p_tpu.ops.sgm import SgmParams, sgm_match
 
     H, W, D = 512, 512, 64

@@ -348,7 +348,15 @@ def read(path, window=None, boundless=False, fill_value=0):
         window: optional (x, y, w, h) pixel window.
         boundless: if True, the window may extend beyond the raster and the
             outside area is filled with ``fill_value``.
+
+    Windowed reads go through the native chunk-level decoder
+    (s2p_tpu/native/tiffio.cpp) when available, touching only the
+    strips/tiles that intersect the window.
     """
+    if window is not None:
+        arr = _read_native(path, window, boundless, fill_value)
+        if arr is not None:
+            return arr
     arr = _Tiff(path).read_array()  # (H, W, spp)
     if arr.shape[2] == 1:
         arr = arr[:, :, 0]
@@ -367,6 +375,32 @@ def read(path, window=None, boundless=False, fill_value=0):
     if x0 < x1 and y0 < y1:
         out[y0 - y:y1 - y, x0 - x:x1 - x] = arr[y0:y1, x0:x1]
     return out
+
+
+def _read_native(path, window, boundless, fill_value):
+    """Windowed read via the native library; None when unsupported or when
+    the fill semantics cannot be expressed (native zero-fills)."""
+    try:
+        from . import geotiff_native
+    except ImportError:
+        return None
+    if not geotiff_native.available():
+        return None
+    x, y, w, h = [int(v) for v in window]
+    prof_wh = None
+    if not boundless:
+        # clip to the raster like the python path does
+        t = _Tiff(path).tags
+        W, H = t[_T_WIDTH], t[_T_HEIGHT]
+        x0, y0 = max(x, 0), max(y, 0)
+        x1, y1 = min(x + w, W), min(y + h, H)
+        if x1 <= x0 or y1 <= y0:
+            return None
+        out = geotiff_native.read_window(path, x0, y0, x1 - x0, y1 - y0)
+        return out
+    if fill_value not in (0, 0.0):
+        return None
+    return geotiff_native.read_window(path, x, y, w, h)
 
 
 def read_with_nans(path):

@@ -50,6 +50,7 @@ class SgmParams:
     lr_enabled: bool = True     # TESTLRRL
     speckle_min_area: int = 0   # REMOVESMALLCC (0 = off)
     mgm: bool = True            # 2-neighbor MGM recursion vs classic SGM
+    min_confidence: float = 0.0  # drop pixels below this consensus score
 
 
 def _min_convolution(L, p1, p2):
@@ -154,6 +155,10 @@ def _subpixel(S, d_int, mode):
     c1 = jnp.take_along_axis(S, d_int[..., None], axis=-1)[..., 0]
     c0 = jnp.take_along_axis(S, jnp.maximum(d_int - 1, 0)[..., None], axis=-1)[..., 0]
     c2 = jnp.take_along_axis(S, jnp.minimum(d_int + 1, D - 1)[..., None], axis=-1)[..., 0]
+    # guard against inf sentinels (invalid candidates at range edges)
+    big = c1 + 1e6
+    c0 = jnp.where(jnp.isfinite(c0), c0, big)
+    c2 = jnp.where(jnp.isfinite(c2), c2, big)
     interior = (d_int > 0) & (d_int < D - 1)
     if mode == 'vfit':
         # fit a symmetric V through the three samples (mgm '-s vfit')
@@ -168,11 +173,13 @@ def _subpixel(S, d_int, mode):
     return jnp.where(interior, off, 0.0)
 
 
-def _right_disparity(S, disp_min):
+def _right_disparity(S, disp_min, subpix_mode='vfit'):
     """Right-reference WTA disparity from the left aggregated volume.
 
     S_R[y, x2, k] = S_L[y, x2 - (disp_min + k), k]; returns the (negated)
-    right disparity map dR with dR(x2) = -(disp_min + argmin_k S_R).
+    subpixel right disparity dR(x2) = -(disp_min + argmin_k S_R + offset),
+    so the left-right test compares two subpixel maps like the reference's
+    TESTLRRL does.
     """
     h, w, D = S.shape
     xs = jnp.arange(w)[:, None] - (disp_min + jnp.arange(D))[None, :]
@@ -181,7 +188,8 @@ def _right_disparity(S, disp_min):
     S_R = S[:, xs_c, jnp.arange(D)[None, :]]
     S_R = jnp.where(inb[None], S_R, jnp.inf)
     kR = jnp.argmin(S_R, axis=-1)
-    return -(disp_min + kR).astype(S.dtype)
+    off = _subpixel(S_R, kR, subpix_mode)
+    return -(disp_min + kR.astype(S.dtype) + off)
 
 
 @functools.partial(jax.jit, static_argnames=('disp_min', 'disp_max', 'params'))
@@ -221,6 +229,8 @@ def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams):
     # val1 is false where the census window leaves the image or no valid
     # disparity candidate exists (NaN borders of the rectified crops)
     valid = val1
+    if params.min_confidence > 0:
+        valid = valid & (confidence >= params.min_confidence)
 
     if params.lr_enabled:
         dR = _right_disparity(S, disp_min)

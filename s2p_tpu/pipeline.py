@@ -512,6 +512,8 @@ def global_dsm(cfg: Config, tiles):
 
 def main(user_cfg, start_from=0):
     """Run the full pipeline (reference __init__.py:528-646)."""
+    from . import device
+    device.configure()
     cfg = build_cfg(user_cfg)
     os.makedirs(cfg.out_dir, exist_ok=True)
     cfg.dump_json(os.path.join(cfg.out_dir, 'config.json'))

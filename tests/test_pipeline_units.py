@@ -1,0 +1,114 @@
+"""Stage-level pipeline tests with the pre-baked triangulation fixture
+(mirrors /root/reference/tests/triangulation_test.py and
+rasterization_test.py) plus config / tiling / fusion units."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from s2p_tpu import pipeline, tiling
+from s2p_tpu.config import Config
+from s2p_tpu.core import fusion
+from s2p_tpu.geo import geotiff, ply
+from s2p_tpu.ops import rasterize
+
+from conftest import data_path
+
+
+@pytest.mark.parametrize('out_crs', [None, 'epsg:32740'])
+def test_disparity_to_ply_fixture(tmp_path, out_crs):
+    """disparity_to_ply on the reference's pre-baked tile fixture."""
+    tile_dir = str(tmp_path / 'tile_dir')
+    shutil.copytree(data_path('input_triangulation'), tile_dir)
+    # the fixture stores global_pointing at the tile level; the pipeline
+    # reads it from out_dir
+    cfg_dict = pipeline.read_config_file(data_path('input_pair/config.json'))
+    cfg_dict['out_dir'] = str(tmp_path)
+    if out_crs:
+        cfg_dict['out_crs'] = out_crs
+    cfg = pipeline.build_cfg(cfg_dict)
+    shutil.copy(os.path.join(tile_dir, 'global_pointing_pair_1.txt'),
+                os.path.join(str(tmp_path), 'global_pointing_pair_1.txt'))
+    # the fixture has no tile mask.png; build a permissive one
+    disp = geotiff.read(os.path.join(tile_dir, 'pair_1', 'rectified_disp.tif'))
+    geotiff.write_png(os.path.join(tile_dir, 'mask.png'),
+                      np.ones((350, 350), np.uint8))
+
+    tile = {'coordinates': [500, 150, 350, 350], 'dir': tile_dir,
+            'neighborhood_dirs': ['.']}
+    pipeline.disparity_to_ply(cfg, tile)
+
+    pts, comments = ply.read_ply(os.path.join(tile_dir, 'cloud.ply'))
+    expected_crs = out_crs or 'epsg:32740'
+    assert comments[-1] == 'projection: CRS {}'.format(expected_crs)
+    assert len(pts) > 10000
+    # easting/northing must fall in the UTM 40S La Reunion neighborhood
+    assert 300000 < np.nanmedian(pts[:, 0]) < 400000
+    assert 7.6e6 < np.nanmedian(pts[:, 1]) < 7.7e6
+
+
+def test_plyflatten_golden():
+    """Rasterization against the reference golden (rasterization_test.py)."""
+    raster, profile = rasterize.plyflatten_from_plyfiles_list(
+        [data_path('input_ply/cloud.ply')], resolution=0.4)
+    test_raster = raster[:, :, 0]
+    exp = geotiff.read(data_path('expected_output/plyflatten/dsm_40cm.tiff'))
+    eprof = geotiff.read_profile(
+        data_path('expected_output/plyflatten/dsm_40cm.tiff'))
+    assert test_raster.shape == exp.shape
+    both = np.isfinite(test_raster) & np.isfinite(exp)
+    assert (np.isfinite(test_raster) == np.isfinite(exp)).all()
+    # identical up to the reference library's float32 accumulation
+    assert np.nanmean(np.abs(test_raster - exp)[both]) < 1e-3
+    np.testing.assert_allclose(profile.transform, eprof.transform)
+
+
+def test_adjust_tile_size():
+    cfg = Config(roi={'x': 150, 'y': 150, 'w': 700, 'h': 700}, tile_size=300)
+    tw, th = tiling.adjust_tile_size(cfg)
+    assert (tw, th) == (350, 350)
+
+
+def test_tiles_coordinates_and_neighborhoods():
+    coords, neigh = tiling.compute_tiles_coordinates(0, 0, 700, 700, 350, 350)
+    assert len(coords) == 4
+    # every tile sees all 4 tiles in its 3x3 neighborhood (2x2 grid)
+    for c in coords:
+        assert len(neigh[str(c)]) == 4
+
+
+def test_fusion_average_if_close():
+    a = np.full((4, 4), 10.0)
+    b = np.full((4, 4), 10.5)
+    b[0, 0] = 20.0   # spread too large at this pixel
+    out = fusion.merge_n_arrays([a, b], [0.0, 0.0], 'average_if_close',
+                                threshold=1.0)
+    assert np.isnan(out[0, 0])
+    assert np.allclose(out[1:, :], 10.25)
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = Config(tile_size=512, filtering_3d_r=5.0)
+    p = str(tmp_path / 'c.json')
+    cfg.dump_json(p)
+    import json
+    d = json.load(open(p))
+    assert d['tile_size'] == 512
+    assert d['3d_filtering_r'] == 5.0  # alias restored in JSON
+    cfg2 = Config.from_user_dict(d)
+    assert cfg2.filtering_3d_r == 5.0
+
+
+def test_unknown_config_key_warns():
+    with pytest.warns(UserWarning, match='unknown parameter'):
+        Config.from_user_dict({'definitely_not_a_key': 1})
+
+
+def test_max_disparity_range_error_from_cfg():
+    from s2p_tpu.core import matching
+    cfg = Config(max_disp_range=4)
+    im = np.random.rand(32, 64).astype(np.float32)
+    with pytest.raises(matching.MaxDisparityRangeError):
+        matching.compute_disparity_map(cfg, im, im, -10, 10)
