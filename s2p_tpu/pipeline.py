@@ -549,22 +549,24 @@ def main(user_cfg, start_from=0):
     if start_from <= 2:
         print('2) correcting pointing globally...')
         global_pointing_correction(cfg, tiles)
+    # device-heavy stages run serially: the accelerator stream is the
+    # bottleneck and concurrent jit compilation through the TPU tunnel is
+    # unreliable; host-heavy stages (pointing, rasterization) stay threaded
     if start_from <= 3:
         print('3) rectifying tiles...')
         runner.launch_calls(lambda t, i: rectification_pair(cfg, t, i),
-                            tiles_pairs, nb_workers, timeout=timeout,
+                            tiles_pairs, 1, timeout=timeout,
                             debug=cfg.debug)
     if start_from <= 4:
         print('4) running stereo matching...')
-        nb_stereo = cfg.max_processes_stereo_matching or nb_workers
         runner.launch_calls(lambda t, i: stereo_matching(cfg, t, i),
-                            tiles_pairs, nb_stereo, timeout=cfg.mgm_timeout,
+                            tiles_pairs, 1, timeout=cfg.mgm_timeout,
                             debug=cfg.debug)
     if start_from <= 5:
         if n > 2:
             print('5a) computing height maps...')
             runner.launch_calls(lambda t, i: disparity_to_height(cfg, t, i),
-                                tiles_pairs, nb_workers, timeout=timeout,
+                                tiles_pairs, 1, timeout=timeout,
                                 debug=cfg.debug)
             print('5b) computing local pairwise height offsets...')
             runner.launch_calls(lambda t: mean_heights(cfg, t), tiles,
@@ -577,7 +579,7 @@ def main(user_cfg, start_from=0):
         else:
             print('5) triangulating tiles...')
             runner.launch_calls(lambda t: disparity_to_ply(cfg, t), tiles,
-                                nb_workers, timeout=timeout, debug=cfg.debug)
+                                1, timeout=timeout, debug=cfg.debug)
     if start_from <= 6:
         print('6) computing DSM by tile...')
         runner.launch_calls(lambda t: plys_to_dsm(cfg, t), tiles, nb_workers,
