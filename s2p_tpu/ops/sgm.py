@@ -51,12 +51,17 @@ class SgmParams:
     speckle_min_area: int = 0   # REMOVESMALLCC (0 = off)
     mgm: bool = True            # 2-neighbor MGM recursion vs classic SGM
     min_confidence: float = 0.0  # drop pixels below this consensus score
+    lr_mode: str = 'volume'     # 'volume': dual-volume RL; 'full': true
+    #                             second aggregation with swapped images
+    p2_edge_scale: float = 1.0  # P2 multiplier at strong intensity edges
+    #                             (1.0 = constant P2, the mgm behavior)
 
 
 def _min_convolution(L, p1, p2):
     """SGM penalty term from a predecessor cost row: (N, D) -> (N, D).
 
     min(L[d], L[d-1]+P1, L[d+1]+P1, min_d L + P2) - min_d L
+    p2 may be a scalar or an (N, 1) per-pixel penalty (edge-aware mode).
     """
     big = jnp.asarray(jnp.inf, L.dtype)
     lm = jnp.concatenate([jnp.full_like(L[:, :1], big), L[:, :-1]], axis=1)
@@ -79,7 +84,7 @@ def _shifted_carry(L_prev, shift):
     return Lp, edge
 
 
-def _scan_pass(cost, dx, dy, p1, p2, mgm=True):
+def _scan_pass(cost, dx, dy, p1, p2, mgm=True, p2_vol=None):
     """One directional aggregation L_r over the whole volume.
 
     With ``mgm`` (the reference's More Global Matching recursion,
@@ -109,14 +114,15 @@ def _scan_pass(cost, dx, dy, p1, p2, mgm=True):
     if flip:
         vol = vol[::-1]
 
-    def step(carry, c_row):
+    def step(carry, xs):
+        c_row, p2_row = xs
         L_prev, first = carry
         Lp1, edge1 = _shifted_carry(L_prev, main_lat)
-        c1 = _min_convolution(Lp1, p1, p2)
+        c1 = _min_convolution(Lp1, p1, p2_row)
         c1 = jnp.where((first | edge1)[:, None], 0.0, c1)
         if mgm:
             Lp2, edge2 = _shifted_carry(L_prev, partner_lat)
-            c2 = _min_convolution(Lp2, p1, p2)
+            c2 = _min_convolution(Lp2, p1, p2_row)
             c2 = jnp.where((first | edge2)[:, None], 0.0, c2)
             contrib = 0.5 * (c1 + c2)
         else:
@@ -125,8 +131,15 @@ def _scan_pass(cost, dx, dy, p1, p2, mgm=True):
         return (L, jnp.zeros((), bool)), L
 
     n, m, D = vol.shape
+    if p2_vol is None:
+        p2_rows = jnp.broadcast_to(jnp.asarray(p2, vol.dtype), (n, m, 1))
+    else:
+        pv = jnp.swapaxes(p2_vol, 0, 1) if dy == 0 else p2_vol
+        if flip:
+            pv = pv[::-1]
+        p2_rows = pv[..., None]
     init = (jnp.zeros((m, D), vol.dtype), jnp.ones((), bool))
-    _, out = jax.lax.scan(step, init, vol)
+    _, out = jax.lax.scan(step, init, (vol, p2_rows))
     if flip:
         out = out[::-1]
     if dy == 0:
@@ -192,6 +205,36 @@ def _right_disparity(S, disp_min, subpix_mode='vfit'):
     return -(disp_min + kR.astype(S.dtype) + off)
 
 
+def _aggregate(im1, im2, disp_min, disp_max, params):
+    """Census cost volume + multi-direction aggregation: returns
+    (S, valid, votes)."""
+    cost, val1 = census_cost_volume(im1, im2, disp_min, disp_max,
+                                    params.census_win)
+    p1 = jnp.asarray(params.p1, cost.dtype)
+    p2 = jnp.asarray(params.p2, cost.dtype)
+
+    p2_vol = None
+    if params.p2_edge_scale != 1.0:
+        # edge-aware penalty: scale P2 down across strong intensity edges
+        g = jnp.nan_to_num(im1)
+        gy = jnp.abs(jnp.gradient(g, axis=0))
+        gx = jnp.abs(jnp.gradient(g, axis=1))
+        gm = jnp.maximum(gx, gy)
+        # moment-based edge threshold (percentile would need a sort, which
+        # compiles poorly on the TPU backend)
+        thr = jnp.mean(gm) + 2.0 * jnp.std(gm)
+        p2_vol = jnp.where(gm > thr, p2 * params.p2_edge_scale, p2)
+
+    dirs = _DIRS_8[:max(2, min(params.nb_dir, 8))]
+    S = jnp.zeros_like(cost)
+    votes = []
+    for (dx, dy) in dirs:
+        L = _scan_pass(cost, dx, dy, p1, p2, params.mgm, p2_vol)
+        votes.append(jnp.argmin(L, axis=-1))
+        S = S + L
+    return S, val1, votes
+
+
 @functools.partial(jax.jit, static_argnames=('disp_min', 'disp_max', 'params'))
 def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams):
     """Dense disparity of a rectified pair by census + SGM aggregation.
@@ -205,19 +248,9 @@ def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams):
         dict with 'disp' (float32, NaN invalid), 'valid' (bool), and
         'confidence' (float32 in [0, 1], direction-consensus score).
     """
-    cost, val1 = census_cost_volume(im1, im2, disp_min, disp_max,
-                                    params.census_win)
-    D = cost.shape[-1]
-    p1 = jnp.asarray(params.p1, cost.dtype)
-    p2 = jnp.asarray(params.p2, cost.dtype)
-
+    S, val1, votes = _aggregate(im1, im2, disp_min, disp_max, params)
+    D = S.shape[-1]
     dirs = _DIRS_8[:max(2, min(params.nb_dir, 8))]
-    S = jnp.zeros_like(cost)
-    votes = []
-    for (dx, dy) in dirs:
-        L = _scan_pass(cost, dx, dy, p1, p2, params.mgm)
-        votes.append(jnp.argmin(L, axis=-1))
-        S = S + L
 
     d_int = jnp.argmin(S, axis=-1)
     consensus = sum((jnp.abs(v - d_int) <= 1) for v in votes)
@@ -233,7 +266,15 @@ def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams):
         valid = valid & (confidence >= params.min_confidence)
 
     if params.lr_enabled:
-        dR = _right_disparity(S, disp_min)
+        if params.lr_mode == 'full':
+            # true RL pass: aggregate with the roles swapped (the reference
+            # TESTLRRL contract) over the mirrored disparity range
+            S_R, _, _ = _aggregate(im2, im1, -disp_max, -disp_min, params)
+            kR = jnp.argmin(S_R, axis=-1)
+            dR = (-disp_max + kR.astype(S.dtype)
+                  + _subpixel(S_R, kR, params.subpix))
+        else:
+            dR = _right_disparity(S, disp_min)
         w = im1.shape[1]
         x2 = jnp.clip(jnp.round(jnp.arange(w)[None, :] + disp).astype(jnp.int32),
                       0, dR.shape[1] - 1)
