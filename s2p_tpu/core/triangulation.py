@@ -138,10 +138,29 @@ def disp_to_xyz(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx, mask_orig,
     dy = np.zeros_like(disp) if disp_y is None else np.asarray(disp_y, np.float32)
     base_valid = np.isfinite(dx) & (np.asarray(mask_rect) != 0)
 
+    # bucket the grid shape (multiples of 64) so tiles share compiled
+    # programs; the pad region is masked invalid and cropped off below
+    Hp = -(-h // 64) * 64
+    Wp = -(-w // 64) * 64
+
+    def padf(a, fill=0.0):
+        out = np.full((Hp, Wp), fill, dtype=np.float32)
+        out[:h, :w] = a
+        return out
+
+    vpad = np.zeros((Hp, Wp), dtype=bool)
+    vpad[:h, :w] = base_valid
+
     lon, lat, alt, err, px, py = _triangulate_grid(
-        jnp.asarray(np.nan_to_num(dx)), jnp.asarray(np.nan_to_num(dy)),
-        jnp.asarray(base_valid), jnp.asarray(h1_inv_rc), jnp.asarray(h2_inv_rc),
+        jnp.asarray(padf(np.nan_to_num(dx))), jnp.asarray(padf(np.nan_to_num(dy))),
+        jnp.asarray(vpad), jnp.asarray(h1_inv_rc), jnp.asarray(h2_inv_rc),
         _to_jax(rpc1_rc), _to_jax(rpc2_rc))
+    lon = lon[:h, :w]
+    lat = lat[:h, :w]
+    alt = alt[:h, :w]
+    err = err[:h, :w]
+    px = px[:h, :w]
+    py = py[:h, :w]
 
     lon = np.array(lon, dtype=np.float64) + lon0
     lat = np.array(lat, dtype=np.float64) + lat0

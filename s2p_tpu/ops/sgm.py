@@ -291,22 +291,34 @@ def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams):
 
 
 def match_pair(im1, im2, disp_min, disp_max, params: SgmParams = SgmParams(),
-               d_pad_multiple: int = 16):
-    """Host wrapper: pads the disparity range to a lane-friendly multiple
-    (bucketing recompilations) and returns numpy outputs."""
+               d_pad_multiple: int = 16, hw_pad_multiple: int = 64):
+    """Host wrapper: pads the disparity range to a lane-friendly multiple and
+    the image shapes to ``hw_pad_multiple`` buckets (NaN margin), so all the
+    tiles of a scene share a handful of compiled programs.  Returns numpy
+    outputs cropped back to the input shape."""
     disp_min = int(np.floor(disp_min))
     disp_max = int(np.ceil(disp_max))
     D = disp_max - disp_min + 1
     D_pad = -(-D // d_pad_multiple) * d_pad_multiple
     disp_max_p = disp_min + D_pad - 1
 
-    out = sgm_match(jnp.asarray(np.asarray(im1, dtype=np.float32)),
-                    jnp.asarray(np.asarray(im2, dtype=np.float32)),
+    im1 = np.asarray(im1, dtype=np.float32)
+    im2 = np.asarray(im2, dtype=np.float32)
+    h, w = im1.shape
+    Hp = -(-h // hw_pad_multiple) * hw_pad_multiple
+    Wp = -(-max(w, im2.shape[1]) // hw_pad_multiple) * hw_pad_multiple
+
+    def pad(a):
+        out = np.full((Hp, Wp), np.nan, dtype=np.float32)
+        out[:a.shape[0], :a.shape[1]] = a
+        return out
+
+    out = sgm_match(jnp.asarray(pad(im1)), jnp.asarray(pad(im2)),
                     disp_min, disp_max_p, params)
-    disp = np.array(out['disp'])
-    valid = np.array(out['valid'])
-    conf = np.asarray(out['confidence'])
-    # discard candidates introduced by the padding
+    disp = np.array(out['disp'])[:h, :w]
+    valid = np.array(out['valid'])[:h, :w]
+    conf = np.asarray(out['confidence'])[:h, :w]
+    # discard candidates introduced by the disparity padding
     bad = disp > disp_max + 0.5
     disp[bad] = np.nan
     valid &= ~bad
