@@ -53,6 +53,7 @@ def _sgm_params_from_cfg(cfg: Config, multi: bool) -> SgmParams:
         lr_enabled=cfg.mgm_leftright_control != 0,
         speckle_min_area=cfg.stereo_speckle_filter if multi else 0,
         mgm=False,
+        p2_edge_scale=0.5,
     )
 
 
@@ -121,9 +122,14 @@ def compute_disparity_map(cfg: Config, im1, im2, disp_min=None, disp_max=None,
     elif algo in ('mgm_multi', 'mgm_multi_lsd'):
         params = _sgm_params_from_cfg(cfg, multi=True)
         if algo == 'mgm_multi_lsd':
+            # the reference's LSD variant lowers regularization on detected
+            # line segments (weights 0.1 on segments, block_matching.py:
+            # 191-218) and raises the base penalties (P1 12, P2 48); the
+            # in-process equivalent is a strong edge-aware P2 attenuation
             params = SgmParams(**{**params.__dict__,
-                                  'p1': 12.0 * cfg.stereo_regularity_multiplier,
-                                  'p2': 48.0 * cfg.stereo_regularity_multiplier})
+                                  'p1': 18.0 * cfg.stereo_regularity_multiplier,
+                                  'p2': 96.0 * cfg.stereo_regularity_multiplier,
+                                  'p2_edge_scale': 0.1})
         disp, valid, conf = _match_multiscale(im1, im2, disp_min, disp_max, params)
         if params.speckle_min_area:
             valid = remove_small_disparity_speckles(
@@ -139,9 +145,10 @@ def compute_disparity_map(cfg: Config, im1, im2, disp_min=None, disp_max=None,
             im1, im2 = _laplacian(im1), _laplacian(im2)
         elif algo == 'hirschmuller08_cauchy':
             im1, im2 = _cauchy_prefilter(im1), _cauchy_prefilter(im2)
-        params = SgmParams(census_win=3, p1=8.0, p2=32.0, nb_dir=8,
-                           subpix='parabola', median=False, lr_tau=1.0,
-                           lr_enabled=True)
+        # OpenCV convention: penalties scale with the matching block area
+        params = SgmParams(census_win=3, cost='bt', p1=8.0 * 9, p2=32.0 * 9,
+                           nb_dir=8, subpix='parabola', median=False,
+                           lr_tau=1.0, lr_enabled=True)
         disp, valid, conf = match_pair(im1, im2, disp_min, disp_max, params)
         conf = None
     elif algo == 'hirschmuller02':

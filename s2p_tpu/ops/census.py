@@ -89,3 +89,66 @@ def census_cost_volume(im1, im2, disp_min: int, disp_max: int, win: int = 5,
     ok = val1[:, :, None] & val2_g
     cost = jnp.where(ok, ham, jnp.asarray(invalid_cost, jnp.float32))
     return cost, val1 & jnp.any(ok, axis=-1)
+
+
+def birchfield_tomasi_cost_volume(im1, im2, disp_min: int, disp_max: int,
+                                  win: int = 3, invalid_cost: float = None,
+                                  trunc: float = 63.0):
+    """Birchfield-Tomasi sampling-insensitive cost volume, box-aggregated.
+
+    The pixel cost of OpenCV's SGBM (reference matcher 'sgbm',
+    block_matching.py:116-134; stereosgbm.cpp:115): the dissimilarity
+    between im1(x) and the linearly-interpolated neighborhood of
+    im2(x + d), symmetrized, truncated, then summed over a win x win block.
+
+    Returns (cost (h, w, D) float32, valid (h, w) bool).
+    """
+    D = disp_max - disp_min + 1
+    a = jnp.asarray(im1, jnp.float32)
+    b = jnp.asarray(im2, jnp.float32)
+    fin1 = jnp.isfinite(a)
+    fin2 = jnp.isfinite(b)
+    a0 = jnp.nan_to_num(a)
+    b0 = jnp.nan_to_num(b)
+    h, w = a0.shape
+    w2 = b0.shape[1]
+
+    def half_neighbors(img):
+        left = jnp.concatenate([img[:, :1], img[:, :-1]], axis=1)
+        right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+        lo = jnp.minimum(jnp.minimum(0.5 * (img + left), 0.5 * (img + right)), img)
+        hi = jnp.maximum(jnp.maximum(0.5 * (img + left), 0.5 * (img + right)), img)
+        return lo, hi
+
+    lo2, hi2 = half_neighbors(b0)
+    lo1, hi1 = half_neighbors(a0)
+
+    xs = jnp.arange(w)[:, None] + jnp.arange(disp_min, disp_max + 1)[None, :]
+    inb = (xs >= 0) & (xs < w2)
+    xs_c = jnp.clip(xs, 0, w2 - 1)
+    b_g = b0[:, xs_c]
+    lo2_g = lo2[:, xs_c]
+    hi2_g = hi2[:, xs_c]
+    fin2_g = fin2[:, xs_c] & inb[None]
+
+    d_fwd = jnp.maximum(jnp.maximum(a0[:, :, None] - hi2_g,
+                                    lo2_g - a0[:, :, None]), 0.0)
+    d_bwd = jnp.maximum(jnp.maximum(b_g - hi1[:, :, None],
+                                    lo1[:, :, None] - b_g), 0.0)
+    cost = jnp.minimum(jnp.minimum(d_fwd, d_bwd), trunc)
+
+    ok = fin1[:, :, None] & fin2_g
+    if invalid_cost is None:
+        invalid_cost = trunc
+    cost = jnp.where(ok, cost, jnp.asarray(invalid_cost, jnp.float32))
+
+    # box aggregation over the matching block
+    r = win // 2
+    if r > 0:
+        pad = jnp.pad(cost, ((r, r), (r, r), (0, 0)), mode='edge')
+        acc = jnp.zeros_like(cost)
+        for dy in range(win):
+            for dx in range(win):
+                acc = acc + pad[dy:dy + h, dx:dx + w]
+        cost = acc / (win * win)
+    return cost, fin1 & jnp.any(ok, axis=-1)

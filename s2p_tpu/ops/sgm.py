@@ -41,6 +41,7 @@ _DIRS_8 = ((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (-1, -1), (1, -1), (-1, 1))
 class SgmParams:
     """Aggregation parameters (defaults = the reference's mgm invocation)."""
     census_win: int = 5
+    cost: str = 'census'        # 'census' or 'bt' (Birchfield-Tomasi)
     p1: float = 8.0
     p2: float = 32.0
     nb_dir: int = 8
@@ -206,10 +207,15 @@ def _right_disparity(S, disp_min, subpix_mode='vfit'):
 
 
 def _aggregate(im1, im2, disp_min, disp_max, params):
-    """Census cost volume + multi-direction aggregation: returns
+    """Cost volume + multi-direction aggregation: returns
     (S, valid, votes)."""
-    cost, val1 = census_cost_volume(im1, im2, disp_min, disp_max,
-                                    params.census_win)
+    if params.cost == 'bt':
+        from .census import birchfield_tomasi_cost_volume
+        cost, val1 = birchfield_tomasi_cost_volume(im1, im2, disp_min,
+                                                   disp_max, params.census_win)
+    else:
+        cost, val1 = census_cost_volume(im1, im2, disp_min, disp_max,
+                                        params.census_win)
     p1 = jnp.asarray(params.p1, cost.dtype)
     p2 = jnp.asarray(params.p2, cost.dtype)
 
