@@ -56,6 +56,9 @@ class SgmParams:
     #                             second aggregation with swapped images
     p2_edge_scale: float = 1.0  # P2 multiplier at strong intensity edges
     #                             (1.0 = constant P2, the mgm behavior)
+    backend: str = 'auto'       # 'auto' (pallas on TPU, lax elsewhere),
+    #                             'pallas', 'lax', or 'interpret' (pallas
+    #                             interpreter mode, for CPU testing)
 
 
 def _min_convolution(L, p1, p2):
@@ -206,9 +209,46 @@ def _right_disparity(S, disp_min, subpix_mode='vfit'):
     return -(disp_min + kR.astype(S.dtype) + off)
 
 
+def _edge_p2_map(im1, p2, scale):
+    """Edge-aware penalty: scale P2 down across strong intensity edges."""
+    g = jnp.nan_to_num(im1)
+    gy = jnp.abs(jnp.gradient(g, axis=0))
+    gx = jnp.abs(jnp.gradient(g, axis=1))
+    gm = jnp.maximum(gx, gy)
+    # moment-based edge threshold (percentile would need a sort, which
+    # compiles poorly on the TPU backend)
+    thr = jnp.mean(gm) + 2.0 * jnp.std(gm)
+    return jnp.where(gm > thr, p2 * scale, jnp.asarray(p2, g.dtype))
+
+
+def _use_pallas(im1, im2, disp_min, disp_max, params) -> bool:
+    if params.backend in ('pallas', 'interpret'):
+        want = True
+    elif params.backend == 'auto':
+        want = jax.default_backend() == 'tpu'
+    else:
+        want = False
+    D = disp_max - disp_min + 1
+    return (want and params.cost == 'census'
+            and params.census_win ** 2 - 1 <= 24
+            and im1.shape == im2.shape
+            and im1.shape[0] % 8 == 0 and im1.shape[1] % 8 == 0
+            and D % 8 == 0)
+
+
 def _aggregate(im1, im2, disp_min, disp_max, params):
     """Cost volume + multi-direction aggregation: returns
     (S, valid, votes)."""
+    p2_vol = None
+    if params.p2_edge_scale != 1.0:
+        p2_vol = _edge_p2_map(im1, params.p2, params.p2_edge_scale)
+
+    if _use_pallas(im1, im2, disp_min, disp_max, params):
+        from .sgm_pallas import aggregate as aggregate_pallas
+        return aggregate_pallas(im1, im2, disp_min, disp_max, params,
+                                p2map=p2_vol,
+                                interpret=(params.backend == 'interpret'))
+
     if params.cost == 'bt':
         from .census import birchfield_tomasi_cost_volume
         cost, val1 = birchfield_tomasi_cost_volume(im1, im2, disp_min,
@@ -218,18 +258,6 @@ def _aggregate(im1, im2, disp_min, disp_max, params):
                                         params.census_win)
     p1 = jnp.asarray(params.p1, cost.dtype)
     p2 = jnp.asarray(params.p2, cost.dtype)
-
-    p2_vol = None
-    if params.p2_edge_scale != 1.0:
-        # edge-aware penalty: scale P2 down across strong intensity edges
-        g = jnp.nan_to_num(im1)
-        gy = jnp.abs(jnp.gradient(g, axis=0))
-        gx = jnp.abs(jnp.gradient(g, axis=1))
-        gm = jnp.maximum(gx, gy)
-        # moment-based edge threshold (percentile would need a sort, which
-        # compiles poorly on the TPU backend)
-        thr = jnp.mean(gm) + 2.0 * jnp.std(gm)
-        p2_vol = jnp.where(gm > thr, p2 * params.p2_edge_scale, p2)
 
     dirs = _DIRS_8[:max(2, min(params.nb_dir, 8))]
     S = jnp.zeros_like(cost)
@@ -254,16 +282,27 @@ def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams):
         dict with 'disp' (float32, NaN invalid), 'valid' (bool), and
         'confidence' (float32 in [0, 1], direction-consensus score).
     """
-    S, val1, votes = _aggregate(im1, im2, disp_min, disp_max, params)
-    D = S.shape[-1]
-    dirs = _DIRS_8[:max(2, min(params.nb_dir, 8))]
+    if _use_pallas(im1, im2, disp_min, disp_max, params):
+        from .sgm_pallas import match_pallas
+        p2map = None
+        if params.p2_edge_scale != 1.0:
+            p2map = _edge_p2_map(im1, params.p2, params.p2_edge_scale)
+        r = match_pallas(im1, im2, disp_min, disp_max, params, p2map,
+                         interpret=(params.backend == 'interpret'))
+        d_int, votes, val1 = r['d_int'], r['votes'], r['valid1']
+        disp = r['disp_raw']
+        S = None
+        dR_vol = r['dR']
+    else:
+        S, val1, votes = _aggregate(im1, im2, disp_min, disp_max, params)
+        d_int = jnp.argmin(S, axis=-1)
+        off = _subpixel(S, d_int, params.subpix)
+        disp = disp_min + d_int.astype(jnp.float32) + off
+        dR_vol = None
 
-    d_int = jnp.argmin(S, axis=-1)
+    dirs = _DIRS_8[:max(2, min(params.nb_dir, 8))]
     consensus = sum((jnp.abs(v - d_int) <= 1) for v in votes)
     confidence = consensus.astype(jnp.float32) / len(dirs)
-
-    off = _subpixel(S, d_int, params.subpix)
-    disp = disp_min + d_int.astype(jnp.float32) + off
 
     # val1 is false where the census window leaves the image or no valid
     # disparity candidate exists (NaN borders of the rectified crops)
@@ -275,10 +314,23 @@ def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams):
         if params.lr_mode == 'full':
             # true RL pass: aggregate with the roles swapped (the reference
             # TESTLRRL contract) over the mirrored disparity range
-            S_R, _, _ = _aggregate(im2, im1, -disp_max, -disp_min, params)
-            kR = jnp.argmin(S_R, axis=-1)
-            dR = (-disp_max + kR.astype(S.dtype)
-                  + _subpixel(S_R, kR, params.subpix))
+            if _use_pallas(im2, im1, -disp_max, -disp_min, params):
+                from .sgm_pallas import match_pallas
+                p2r = None
+                if params.p2_edge_scale != 1.0:
+                    p2r = _edge_p2_map(im2, params.p2, params.p2_edge_scale)
+                dR = match_pallas(im2, im1, -disp_max, -disp_min, params,
+                                  p2r,
+                                  interpret=(params.backend == 'interpret')
+                                  )['disp_raw']
+            else:
+                S_R, _, _ = _aggregate(im2, im1, -disp_max, -disp_min,
+                                       params)
+                kR = jnp.argmin(S_R, axis=-1)
+                dR = (-disp_max + kR.astype(S_R.dtype)
+                      + _subpixel(S_R, kR, params.subpix))
+        elif dR_vol is not None:
+            dR = dR_vol
         else:
             dR = _right_disparity(S, disp_min)
         w = im1.shape[1]

@@ -1,0 +1,467 @@
+"""Pallas TPU kernels for the SGM/MGM aggregation hot path.
+
+This is the speed-of-light implementation of the pipeline's compute core
+(the reference shells out to the mgm binary here, cf.
+/root/reference/s2p/block_matching.py:155-188).  It produces the exact same
+aggregated volume, votes and validity mask as the portable lax path in
+``sgm.py`` (tested against it in interpret mode), but restructured for the
+memory system of the TPU:
+
+  * the (H, W, D) float32 cost volume never touches HBM -- each kernel
+    streams the bit-packed census signatures (uint32 per pixel, ~64x
+    smaller) and rebuilds the cost rows in VMEM by XOR + popcount;
+  * each scan direction's running DP row L_r lives in a VMEM scratch
+    buffer that persists across sequential grid steps, so a single kernel
+    invocation aggregates all same-orientation directions (3 for vertical
+    scans under the 8-direction default) in one pass over the image;
+  * the disparity axis is the sublane dimension of a (D, W) register
+    tile: the P1/P2 min-convolution is two static sublane shifts + mins,
+    and the MGM lateral (diagonal) predecessors are static lane rolls of
+    the carry;
+  * per-direction WTA votes (for the consensus confidence) are folded into
+    the same pass.
+
+Cost-row construction differs by scan orientation because disparity always
+shifts along the original image's x axis:
+  * vertical scans (scan axis = y): the shifted secondary row
+    s2[k, x] = sig2[y, x + dmin + k] is built from the current row by a
+    log-step sequence of static lane rolls selected per sublane (a
+    "Hankel" construction);
+  * horizontal scans (run on transposed signatures, scan axis = x): the
+    window sig2^T[x + dmin .. x + dmin + D) is a contiguous sublane slice
+    of the full transposed signature, which is small enough (uint32 per
+    pixel) to pin entirely in VMEM, padded so the slice never clamps.
+
+HBM traffic per aggregation: read 4x signatures (~8 MB at 800^2) and write
+2 partial sum volumes -- vs ~17 volume-sized reads/writes for the unfused
+lax path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .census import census_transform
+
+# rows per grid step: amortizes grid-step overhead; must divide padded H/W
+_ROW_BLOCK = 8
+_VALID_BIT = 24          # census uses bits [0, 24) for win <= 5
+
+
+def _popcount(v):
+    """Branch-free popcount of the low 32 bits (uint32 in, int32 out)."""
+    v = v - ((v >> 1) & np.uint32(0x55555555))
+    v = (v & np.uint32(0x33333333)) + ((v >> 2) & np.uint32(0x33333333))
+    v = (v + (v >> 4)) & np.uint32(0x0F0F0F0F)
+    return ((v * np.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+def _minconv(L, p1, p2):
+    """SGM penalty update on a (D, W) slab, disparity = sublane axis."""
+    big = jnp.asarray(jnp.inf, L.dtype)
+    lm = jnp.concatenate([jnp.full_like(L[:1], big), L[:-1]], axis=0)
+    lp = jnp.concatenate([L[1:], jnp.full_like(L[:1], big)], axis=0)
+    m = jnp.min(L, axis=0, keepdims=True)
+    return jnp.minimum(jnp.minimum(L, jnp.minimum(lm, lp) + p1), m + p2) - m
+
+
+def _scan_kernel(sig1_ref, sig2_ref, p2_ref, S_ref, votes_ref, *carries,
+                 D, W, G, n_steps, disp_min, dirs, mgm, p1, invalid_cost,
+                 sig_mask, reverse, horizontal, pad):
+    """One grid step: G scan rows through all ``dirs`` DP recursions.
+
+    For vertical passes, W is the image width (lane axis = x, the disparity
+    shift axis).  For horizontal passes the signatures are transposed: the
+    lane axis is y, the scan axis is x, and sig2_ref is the full padded
+    transposed signature held in VMEM.
+    """
+    pid = pl.program_id(0)
+    block = (n_steps - 1 - pid) if reverse else pid
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (D, W), 0)
+    x_ids = jax.lax.broadcasted_iota(jnp.int32, (D, W), 1)
+    first_local = G - 1 if reverse else 0
+    p1 = jnp.asarray(p1, jnp.float32)
+    inv = jnp.asarray(invalid_cost, jnp.float32)
+
+    if not horizontal:
+        inb = ((x_ids + disp_min + k_ids >= 0)
+               & (x_ids + disp_min + k_ids < W))
+    else:
+        # one sublane-aligned window per grid step covers all G row slices:
+        # rows block*G + disp_min + pad + [0, D + G); ``pad`` is chosen by
+        # the caller so the base offset is a multiple of the sublane count
+        base = pl.multiple_of(block * G + disp_min + pad, G)
+        window = sig2_ref[pl.ds(base, D + G), :]           # (D+G, W=H)
+
+    # static unroll: per-row slices stay static, Mosaic-friendly
+    rows = range(G - 1, -1, -1) if reverse else range(G)
+    for row in rows:
+        s1 = sig1_ref[pl.ds(row, 1), :]                    # (1, W) uint32
+        p2r = p2_ref[pl.ds(row, 1), :]                     # (1, W) f32
+
+        if horizontal:
+            s2b = window[row:row + D]                      # (D, W=H)
+            # scan position along the original x axis; width = n_steps * G
+            ix = block * G + row + disp_min + k_ids
+            inb_r = (ix >= 0) & (ix < n_steps * G)
+        else:
+            s2row = sig2_ref[pl.ds(row, 1), :]
+            # shifted-row construction s2b[k, x] = sig2row[x + dmin + k] by
+            # doubling: X_{b+1} = [X_b ; roll(X_b, -2^b)] (materialized
+            # arrays only -- Mosaic cannot roll broadcast layouts)
+            s2b = (jnp.roll(s2row, -disp_min, axis=1)
+                   if disp_min % W != 0 else s2row)
+            while s2b.shape[0] < D:
+                step = s2b.shape[0]
+                s2b = jnp.concatenate(
+                    [s2b, jnp.roll(s2b, -step, axis=1)], axis=0)
+            s2b = s2b[:D]
+            inb_r = inb
+
+        v1 = (s1 >> _VALID_BIT) & np.uint32(1)             # (1, W)
+        v2h = (s2b >> _VALID_BIT) & np.uint32(1)           # (D, W)
+        ham = _popcount((s1 ^ s2b) & sig_mask).astype(jnp.float32)
+        ok = (v1 == 1) & (v2h == 1) & inb_r
+        cost = jnp.where(ok, ham, inv)
+
+        # only the very first scan row of the image lacks a predecessor
+        first = (pid == 0) if row == first_local else None
+
+        Ssum = None
+        for d_idx, (mlat, plat) in enumerate(dirs):
+            L_prev = carries[d_idx][:]
+
+            def contrib(lat):
+                Lp = jnp.roll(L_prev, lat, axis=1) if lat else L_prev
+                mc = _minconv(Lp, p1, p2r)
+                if lat > 0:
+                    dead = x_ids < lat
+                elif lat < 0:
+                    dead = x_ids >= W + lat
+                else:
+                    dead = None
+                if first is not None:
+                    dead = first if dead is None else (first | dead)
+                if dead is None:
+                    return mc
+                return jnp.where(dead, 0.0, mc)
+
+            if mgm:
+                c = 0.5 * (contrib(mlat) + contrib(plat))
+            else:
+                c = contrib(mlat)
+            L_new = cost + c
+            carries[d_idx][:] = L_new
+            Ssum = L_new if Ssum is None else Ssum + L_new
+
+            mn = jnp.min(L_new, axis=0, keepdims=True)
+            am = jnp.min(jnp.where(L_new == mn, k_ids, D), axis=0,
+                         keepdims=True)
+            votes_ref[d_idx, pl.ds(row, 1), :] = am
+
+        S_ref[pl.ds(row, 1), :, :] = Ssum.reshape(1, D, W)
+
+
+def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, mgm, p1,
+                      invalid_cost, nbits, reverse, horizontal,
+                      interpret=False):
+    """All same-orientation directions in one streaming pass.
+
+    Args:
+        sig1: (N, W) uint32 packed census signature rows along the scan
+            axis (transposed for horizontal passes), validity at bit
+            ``_VALID_BIT``.
+        sig2: like sig1 for vertical passes; for horizontal passes the
+            transposed signature pre-padded with ``pad`` invalid rows on
+            each side of the scan axis.
+        p2map: (N, W) float32 per-pixel P2 penalty (same layout as sig1).
+        dirs: static list of (main_lateral, partner_lateral) carry offsets.
+
+    Returns:
+        (S_partial (N, D, W) float32, votes (n_dirs, N, W) int32).
+    """
+    N, W = sig1.shape
+    G = _ROW_BLOCK
+    assert N % G == 0, (N, G)
+    n_steps = N // G
+    n_dirs = len(dirs)
+    sig_mask = np.uint32((1 << nbits) - 1)
+    pad = (sig2.shape[0] - N) // 2 if horizontal else 0
+
+    def idx(i):
+        return (n_steps - 1 - i) if reverse else i
+
+    kernel = functools.partial(
+        _scan_kernel, D=D, W=W, G=G, n_steps=n_steps, disp_min=disp_min,
+        dirs=tuple(dirs), mgm=mgm, p1=p1, invalid_cost=invalid_cost,
+        sig_mask=sig_mask, reverse=reverse, horizontal=horizontal, pad=pad)
+
+    if horizontal:
+        sig2_spec = pl.BlockSpec(memory_space=pltpu.VMEM)   # full array
+    else:
+        sig2_spec = pl.BlockSpec((G, W), lambda i: (idx(i), 0),
+                                 memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((G, W), lambda i: (idx(i), 0),
+                         memory_space=pltpu.VMEM),
+            sig2_spec,
+            pl.BlockSpec((G, W), lambda i: (idx(i), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, D, W), lambda i: (idx(i), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_dirs, G, W), lambda i: (0, idx(i), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, D, W), jnp.float32),
+            jax.ShapeDtypeStruct((n_dirs, N, W), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((D, W), jnp.float32)
+                        for _ in range(n_dirs)],
+        interpret=interpret,
+    )(sig1, sig2, p2map)
+
+
+def _wta_kernel(*refs, D, W, G, disp_min, subpix, n_parts):
+    """Fused WTA + subpixel + right-reference disparity, one pass over S.
+
+    Replaces the XLA gather chain (argmin, take_along_axis x3, the
+    S_R re-indexing of ``sgm._right_disparity``) -- all of which stream
+    the full volume from HBM separately -- with a single row-blocked scan
+    that sums the orientation partials in VMEM and reduces each (D, W)
+    slab to three (W,) maps with masked min-reductions (no gathers).
+    """
+    part_refs = refs[:n_parts]
+    disp_ref, dint_ref, dr_ref = refs[n_parts:]
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (D, W), 0)
+    x_ids = jax.lax.broadcasted_iota(jnp.int32, (D, W), 1)
+    big = jnp.float32(jnp.inf)
+
+    def select_at(X, onehot):
+        """X[d_int, x] per column via masked min (no gather)."""
+        return jnp.min(jnp.where(onehot, X, big), axis=0, keepdims=True)
+
+    def subpixel(S, onehot, d_int):
+        c1 = select_at(S, onehot)
+        up = jnp.concatenate([jnp.full_like(S[:1], big), S[:-1]], axis=0)
+        dn = jnp.concatenate([S[1:], jnp.full_like(S[:1], big)], axis=0)
+        c0 = select_at(up, onehot)
+        c2 = select_at(dn, onehot)
+        guard = c1 + 1e6
+        c0 = jnp.where(jnp.isfinite(c0), c0, guard)
+        c2 = jnp.where(jnp.isfinite(c2), c2, guard)
+        interior = (d_int > 0) & (d_int < D - 1)
+        if subpix == 'vfit':
+            den = 2.0 * (jnp.maximum(c0, c2) - c1)
+            off = (c0 - c2) / jnp.maximum(den, 1e-9)
+        elif subpix == 'parabola':
+            den = c0 - 2.0 * c1 + c2
+            off = 0.5 * (c0 - c2) / jnp.maximum(den, 1e-9)
+        else:
+            return jnp.zeros_like(c1)
+        off = jnp.clip(off, -0.5, 0.5)
+        return jnp.where(interior, off, 0.0)
+
+    for row in range(G):
+        S = part_refs[0][pl.ds(row, 1), :, :].reshape(D, W)
+        for p in part_refs[1:]:
+            S = S + p[pl.ds(row, 1), :, :].reshape(D, W)
+
+        mn = jnp.min(S, axis=0, keepdims=True)
+        d_int = jnp.min(jnp.where(S == mn, k_ids, D), axis=0, keepdims=True)
+        onehot = k_ids == d_int
+        off = subpixel(S, onehot, d_int)
+        disp_ref[pl.ds(row, 1), :] = (disp_min + d_int.astype(jnp.float32)
+                                      + off)
+        dint_ref[pl.ds(row, 1), :] = d_int
+
+        # right-reference volume S_R[k, x] = S[k, x - disp_min - k] via a
+        # per-sublane lane roll (log-step construction), masked outside
+        R = jnp.roll(S, disp_min, axis=1) if disp_min % W else S
+        b = 0
+        while (1 << b) < D:
+            step = 1 << b
+            R = jnp.where((k_ids & step) != 0,
+                          jnp.roll(R, step, axis=1), R)
+            b += 1
+        ixr = x_ids - disp_min - k_ids
+        S_R = jnp.where((ixr >= 0) & (ixr < W), R, big)
+        mnr = jnp.min(S_R, axis=0, keepdims=True)
+        kR = jnp.min(jnp.where(S_R == mnr, k_ids, D), axis=0, keepdims=True)
+        offR = subpixel(S_R, k_ids == kR, kR)
+        dr_ref[pl.ds(row, 1), :] = -(disp_min + kR.astype(jnp.float32)
+                                     + offR)
+
+
+def _wta_pallas(parts, disp_min, subpix, interpret=False):
+    """(disp_raw, d_int, dR) maps from the summed (H, D, W) partials."""
+    H, D, W = parts[0].shape
+    G = _ROW_BLOCK
+    assert H % G == 0
+    n_parts = len(parts)
+    kernel = functools.partial(_wta_kernel, D=D, W=W, G=G,
+                               disp_min=disp_min, subpix=subpix,
+                               n_parts=n_parts)
+    part_spec = pl.BlockSpec((G, D, W), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    map_spec = pl.BlockSpec((G, W), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(H // G,),
+        in_specs=[part_spec] * n_parts,
+        out_specs=[map_spec, map_spec, map_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, W), jnp.float32),
+            jax.ShapeDtypeStruct((H, W), jnp.int32),
+            jax.ShapeDtypeStruct((H, W), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*parts)
+
+
+def _pack(sig, valid):
+    return sig | (valid.astype(jnp.uint32) << _VALID_BIT)
+
+
+def _any_valid_candidate(val2, disp_min, D):
+    """any_k val2[y, x + disp_min + k] via a windowed sum of the 0/1 mask."""
+    W2 = val2.shape[1]
+    cs = jnp.concatenate(
+        [jnp.zeros((val2.shape[0], 1), jnp.int32),
+         jnp.cumsum(val2.astype(jnp.int32), axis=1)], axis=1)
+    x = jnp.arange(val2.shape[1])
+    lo = jnp.clip(x + disp_min, 0, W2)
+    hi = jnp.clip(x + disp_min + D, 0, W2)
+    return (cs[:, hi] - cs[:, lo]) > 0
+
+
+# direction -> (pass, lateral carry offsets); offsets follow sgm._scan_pass:
+#   vertical fwd  (dy=+1): (0,1)->(0,+1)  (1,1)->(+1,0)  (-1,1)->(-1,0)
+#   vertical bwd  (dy=-1): (0,-1)->(0,-1) (-1,-1)->(-1,0) (1,-1)->(+1,0)
+#   horizontal fwd (dx=+1, transposed): (1,0)->(0,+1)
+#   horizontal bwd (dx=-1, transposed): (-1,0)->(0,-1)
+_PASS_OF_DIR = {
+    (0, 1): ('vf', (0, 1)), (1, 1): ('vf', (1, 0)), (-1, 1): ('vf', (-1, 0)),
+    (0, -1): ('vb', (0, -1)), (-1, -1): ('vb', (-1, 0)),
+    (1, -1): ('vb', (1, 0)),
+    (1, 0): ('hf', (0, 1)), (-1, 0): ('hb', (0, -1)),
+}
+
+
+def _aggregate_partials(im1, im2, disp_min, disp_max, params, p2map=None,
+                        interpret=False):
+    """Runs the scan passes; returns ((H, D, W) partial sum volumes,
+    valid1, votes) without assembling the full (H, W, D) volume."""
+    from .sgm import _DIRS_8
+
+    assert im1.shape == im2.shape, 'pallas path requires equal padded shapes'
+    H, W = im1.shape
+    D = disp_max - disp_min + 1
+    win = params.census_win
+    nbits = win * win - 1
+    assert nbits <= _VALID_BIT
+    invalid_cost = float(nbits)
+
+    sig1, val1 = census_transform(im1, win)
+    sig2, val2 = census_transform(im2, win)
+    s1 = _pack(sig1[..., 0], val1)
+    s2 = _pack(sig2[..., 0], val2)
+
+    if p2map is None:
+        p2map = jnp.full((H, W), params.p2, jnp.float32)
+    else:
+        p2map = p2map.astype(jnp.float32)
+
+    dirs = _DIRS_8[:max(2, min(params.nb_dir, 8))]
+    passes = {}          # pass key -> (list of dir indices, list of laterals)
+    for i, d in enumerate(dirs):
+        key, lats = _PASS_OF_DIR[d]
+        passes.setdefault(key, ([], []))
+        passes[key][0].append(i)
+        passes[key][1].append(lats)
+
+    s1t = s2tp = p2t = None
+    if 'hf' in passes or 'hb' in passes:
+        s1t, p2t = s1.T, p2map.T
+        # pad the scan axis so the per-step (D + G)-row window never
+        # clamps (rows x + disp_min + [0, D + G) for x in [0, W)) and so
+        # the window base stays sublane-aligned: (disp_min + pad) % G == 0
+        G = _ROW_BLOCK
+        pad = max(0, -disp_min, disp_min + D)
+        pad += (-(disp_min + pad)) % G
+        s2tp = jnp.pad(s2.T, ((pad, pad), (0, 0)))
+
+    run = functools.partial(_scan_pass_pallas, D=D, disp_min=disp_min,
+                            mgm=params.mgm, p1=params.p1,
+                            invalid_cost=invalid_cost, nbits=nbits,
+                            interpret=interpret)
+
+    S_v = None
+    S_h = None
+    votes = [None] * len(dirs)
+    for key, (dir_idx, lats) in passes.items():
+        if key in ('vf', 'vb'):
+            Sp, v = run(s1, s2, p2map, dirs=lats, reverse=(key == 'vb'),
+                        horizontal=False)
+            S_v = Sp if S_v is None else S_v + Sp
+            for j, i in enumerate(dir_idx):
+                votes[i] = v[j]
+        else:
+            Sp, v = run(s1t, s2tp, p2t, dirs=lats, reverse=(key == 'hb'),
+                        horizontal=True)
+            S_h = Sp if S_h is None else S_h + Sp
+            for j, i in enumerate(dir_idx):
+                votes[i] = v[j].T
+
+    valid1 = val1 & _any_valid_candidate(val2, disp_min, D)
+    parts = []
+    if S_v is not None:
+        parts.append(S_v)
+    if S_h is not None:
+        parts.append(jnp.transpose(S_h, (2, 1, 0)))      # (W,D,H) -> (H,D,W)
+    return parts, valid1, votes
+
+
+def aggregate(im1, im2, disp_min, disp_max, params, p2map=None,
+              interpret=False):
+    """Census cost + multi-direction SGM/MGM aggregation, Pallas kernels.
+
+    Drop-in equivalent of ``sgm._aggregate`` for the census cost on pairs
+    of equal (padded) shape: returns (S (H, W, D) float32, valid1 (H, W)
+    bool, votes list of (H, W) int32 in direction order).
+    """
+    parts, valid1, votes = _aggregate_partials(
+        im1, im2, disp_min, disp_max, params, p2map, interpret)
+    S = jnp.transpose(sum(parts[1:], parts[0]), (0, 2, 1))
+    return S, valid1, votes
+
+
+def match_pallas(im1, im2, disp_min, disp_max, params, p2map=None,
+                 interpret=False):
+    """Aggregation + fused WTA/subpixel/right-disparity, all in Pallas.
+
+    Returns a dict with 'disp_raw' (float32, disp_min + WTA + subpixel,
+    no validity applied), 'd_int' (int32 WTA index), 'dR' (float32
+    right-reference disparity for the LR test, cf.
+    ``sgm._right_disparity``), 'valid1' (bool) and 'votes' (list of int32
+    per-direction WTA maps).
+    """
+    parts, valid1, votes = _aggregate_partials(
+        im1, im2, disp_min, disp_max, params, p2map, interpret)
+    disp_raw, d_int, dR = _wta_pallas(parts, disp_min, params.subpix,
+                                      interpret=interpret)
+    return {'disp_raw': disp_raw, 'd_int': d_int, 'dR': dR,
+            'valid1': valid1, 'votes': votes}
