@@ -10,7 +10,9 @@ and SURVEY.md section 2.5):
     x in [xoff + j*res, xoff + (j+1)*res), y in (yoff - (i+1)*res, yoff - i*res];
   * each point contributes to every cell whose center lies within ``radius``
     cells, with weight exp(-d^2 / (2 sigma^2)) of the point-to-cell-center
-    distance (sigma defaults to the resolution);
+    distance; ``sigma=None`` means uniform weights (the plyflatten default:
+    with radius 0 each cell is then the plain average of its points,
+    reference config.py:59-63);
   * each output channel is the weighted average of the corresponding point
     payload column.
 
@@ -44,7 +46,7 @@ def plyflatten(points, xoff, yoff, resolution, xsize, ysize,
         xoff, yoff: top-left grid corner (x left edge, y top edge).
         resolution: cell size.
         radius: neighborhood radius in cells (0 = only the containing cell).
-        sigma: gaussian spread (defaults to resolution).
+        sigma: gaussian spread; None = uniform weights (plain average).
 
     Returns:
         raster of shape (ysize, xsize, k-2): weighted average per channel,
@@ -53,7 +55,7 @@ def plyflatten(points, xoff, yoff, resolution, xsize, ysize,
     points = np.asarray(points, dtype=np.float64)
     n, k = points.shape
     nch = k - 2
-    sigma = resolution if sigma is None else sigma
+    sigma = np.inf if sigma is None else sigma
 
     acc = np.zeros((ysize * xsize, nch), dtype=np.float64)
     wacc = np.zeros(ysize * xsize, dtype=np.float64)

@@ -51,6 +51,10 @@ class SgmParams:
     lr_enabled: bool = True     # TESTLRRL
     speckle_min_area: int = 0   # REMOVESMALLCC (0 = off)
     mgm: bool = True            # 2-neighbor MGM recursion vs classic SGM
+    mgm_neighbors: int = 2      # predecessors per traversal when mgm: 2 =
+    #                             MGM (BMVC'15), 3 approximates the binary's
+    #                             TSGM=3 (adds the opposite 45-degree
+    #                             causal neighbor)
     min_confidence: float = 0.0  # drop pixels below this consensus score
     lr_mode: str = 'volume'     # 'volume': dual-volume RL; 'full': true
     #                             second aggregation with swapped images
@@ -88,7 +92,7 @@ def _shifted_carry(L_prev, shift):
     return Lp, edge
 
 
-def _scan_pass(cost, dx, dy, p1, p2, mgm=True, p2_vol=None):
+def _scan_pass(cost, dx, dy, p1, p2, mgm=True, p2_vol=None, mgm_neighbors=2):
     """One directional aggregation L_r over the whole volume.
 
     With ``mgm`` (the reference's More Global Matching recursion,
@@ -118,19 +122,22 @@ def _scan_pass(cost, dx, dy, p1, p2, mgm=True, p2_vol=None):
     if flip:
         vol = vol[::-1]
 
+    laterals = [main_lat]
+    if mgm:
+        laterals.append(partner_lat)
+        if mgm_neighbors >= 3:
+            laterals.append(-(main_lat + partner_lat))
+
     def step(carry, xs):
         c_row, p2_row = xs
         L_prev, first = carry
-        Lp1, edge1 = _shifted_carry(L_prev, main_lat)
-        c1 = _min_convolution(Lp1, p1, p2_row)
-        c1 = jnp.where((first | edge1)[:, None], 0.0, c1)
-        if mgm:
-            Lp2, edge2 = _shifted_carry(L_prev, partner_lat)
-            c2 = _min_convolution(Lp2, p1, p2_row)
-            c2 = jnp.where((first | edge2)[:, None], 0.0, c2)
-            contrib = 0.5 * (c1 + c2)
-        else:
-            contrib = c1
+        contrib = None
+        for lat in laterals:
+            Lp, edge = _shifted_carry(L_prev, lat)
+            c = _min_convolution(Lp, p1, p2_row)
+            c = jnp.where((first | edge)[:, None], 0.0, c)
+            contrib = c if contrib is None else contrib + c
+        contrib = contrib / len(laterals)
         L = c_row + contrib
         return (L, jnp.zeros((), bool)), L
 
@@ -263,7 +270,8 @@ def _aggregate(im1, im2, disp_min, disp_max, params):
     S = jnp.zeros_like(cost)
     votes = []
     for (dx, dy) in dirs:
-        L = _scan_pass(cost, dx, dy, p1, p2, params.mgm, p2_vol)
+        L = _scan_pass(cost, dx, dy, p1, p2, params.mgm, p2_vol,
+                       params.mgm_neighbors)
         votes.append(jnp.argmin(L, axis=-1))
         S = S + L
     return S, val1, votes

@@ -72,7 +72,7 @@ def _minconv(L, p1, p2):
 
 
 def _scan_kernel(sig1_ref, sig2_ref, p2_ref, S_ref, votes_ref, *carries,
-                 D, W, G, n_steps, disp_min, dirs, mgm, p1, invalid_cost,
+                 D, W, G, n_steps, disp_min, dirs, p1, invalid_cost,
                  sig_mask, reverse, horizontal, pad):
     """One grid step: G scan rows through all ``dirs`` DP recursions.
 
@@ -134,7 +134,7 @@ def _scan_kernel(sig1_ref, sig2_ref, p2_ref, S_ref, votes_ref, *carries,
         first = (pid == 0) if row == first_local else None
 
         Ssum = None
-        for d_idx, (mlat, plat) in enumerate(dirs):
+        for d_idx, laterals in enumerate(dirs):
             L_prev = carries[d_idx][:]
 
             def contrib(lat):
@@ -152,10 +152,11 @@ def _scan_kernel(sig1_ref, sig2_ref, p2_ref, S_ref, votes_ref, *carries,
                     return mc
                 return jnp.where(dead, 0.0, mc)
 
-            if mgm:
-                c = 0.5 * (contrib(mlat) + contrib(plat))
-            else:
-                c = contrib(mlat)
+            c = contrib(laterals[0])
+            for lat in laterals[1:]:
+                c = c + contrib(lat)
+            if len(laterals) > 1:
+                c = c * (1.0 / len(laterals))
             L_new = cost + c
             carries[d_idx][:] = L_new
             Ssum = L_new if Ssum is None else Ssum + L_new
@@ -168,7 +169,7 @@ def _scan_kernel(sig1_ref, sig2_ref, p2_ref, S_ref, votes_ref, *carries,
         S_ref[pl.ds(row, 1), :, :] = Ssum.reshape(1, D, W)
 
 
-def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, mgm, p1,
+def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, p1,
                       invalid_cost, nbits, reverse, horizontal,
                       interpret=False):
     """All same-orientation directions in one streaming pass.
@@ -181,7 +182,7 @@ def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, mgm, p1,
             transposed signature pre-padded with ``pad`` invalid rows on
             each side of the scan axis.
         p2map: (N, W) float32 per-pixel P2 penalty (same layout as sig1).
-        dirs: static list of (main_lateral, partner_lateral) carry offsets.
+        dirs: static list of lateral-offset tuples per direction.
 
     Returns:
         (S_partial (N, D, W) float32, votes (n_dirs, N, W) int32).
@@ -199,7 +200,7 @@ def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, mgm, p1,
 
     kernel = functools.partial(
         _scan_kernel, D=D, W=W, G=G, n_steps=n_steps, disp_min=disp_min,
-        dirs=tuple(dirs), mgm=mgm, p1=p1, invalid_cost=invalid_cost,
+        dirs=tuple(dirs), p1=p1, invalid_cost=invalid_cost,
         sig_mask=sig_mask, reverse=reverse, horizontal=horizontal, pad=pad)
 
     if horizontal:
@@ -388,7 +389,13 @@ def _aggregate_partials(im1, im2, disp_min, disp_max, params, p2map=None,
     dirs = _DIRS_8[:max(2, min(params.nb_dir, 8))]
     passes = {}          # pass key -> (list of dir indices, list of laterals)
     for i, d in enumerate(dirs):
-        key, lats = _PASS_OF_DIR[d]
+        key, (main, partner) = _PASS_OF_DIR[d]
+        if not params.mgm:
+            lats = (main,)
+        elif params.mgm_neighbors >= 3:
+            lats = (main, partner, -(main + partner))
+        else:
+            lats = (main, partner)
         passes.setdefault(key, ([], []))
         passes[key][0].append(i)
         passes[key][1].append(lats)
@@ -405,7 +412,7 @@ def _aggregate_partials(im1, im2, disp_min, disp_max, params, p2map=None,
         s2tp = jnp.pad(s2.T, ((pad, pad), (0, 0)))
 
     run = functools.partial(_scan_pass_pallas, D=D, disp_min=disp_min,
-                            mgm=params.mgm, p1=params.p1,
+                            p1=params.p1,
                             invalid_cost=invalid_cost, nbits=nbits,
                             interpret=interpret)
 

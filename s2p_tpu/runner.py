@@ -12,15 +12,52 @@ and optional per-tile log redirection.
 from __future__ import annotations
 
 import concurrent.futures as cf
-import contextlib
 import io
 import os
 import sys
+import threading
 import traceback
 
 
 class TimeoutError_(Exception):
     pass
+
+
+class _StreamRouter(io.TextIOBase):
+    """Thread-local stdout/stderr routing.
+
+    ``contextlib.redirect_stdout`` swaps the process-global ``sys.stdout``,
+    so concurrent tile workers would capture each other's (and the
+    driver's) output.  This router is installed once and routes each
+    thread's writes to its registered sink, falling back to the real
+    stream (driver progress lines keep going to the terminal).
+    """
+
+    def __init__(self, fallback):
+        self.fallback = fallback
+        self._local = threading.local()
+
+    def push(self, target):
+        self._local.target = target
+
+    def pop(self):
+        self._local.target = None
+
+    @property
+    def _t(self):
+        return getattr(self._local, 'target', None) or self.fallback
+
+    def write(self, s):
+        return self._t.write(s)
+
+    def flush(self):
+        try:
+            return self._t.flush()
+        except ValueError:
+            pass
+
+    def writable(self):
+        return True
 
 
 def _tile_log_path(item):
@@ -53,6 +90,9 @@ def launch_calls(fun, list_of_args, nb_workers=None, *extra_args,
     nb_workers = nb_workers or min(8, n)
     done_count = [0]
 
+    router_out = _StreamRouter(sys.stdout)
+    router_err = _StreamRouter(sys.stderr)
+
     def call(item):
         args = tuple(item) if isinstance(item, tuple) else (item,)
         args += tuple(extra_args)
@@ -60,41 +100,47 @@ def launch_calls(fun, list_of_args, nb_workers=None, *extra_args,
         if log and not debug:
             os.makedirs(os.path.dirname(log), exist_ok=True)
             buf = io.StringIO()
+            router_out.push(buf)
+            router_err.push(buf)
             try:
-                with contextlib.redirect_stdout(buf), \
-                        contextlib.redirect_stderr(buf):
-                    out = fun(*args)
+                out = fun(*args)
             except Exception:
                 buf.write(f'Exception in {getattr(fun, "__name__", fun)}\n')
                 buf.write(traceback.format_exc())
+                raise
+            finally:
+                router_out.pop()
+                router_err.pop()
                 with open(log, 'a') as f:
                     f.write(buf.getvalue())
-                raise
-            with open(log, 'a') as f:
-                f.write(buf.getvalue())
             return out
         return fun(*args)
 
     results = []
-    with cf.ThreadPoolExecutor(nb_workers) as pool:
-        futs = [pool.submit(call, item) for item in list_of_args]
-        try:
-            for fut in futs:
-                results.append(fut.result(timeout=timeout))
-                done_count[0] += 1
-                status = 'done {} / {} tiles'.format(done_count[0], n)
-                end = '\n' if done_count[0] == n else '\r'
-                sys.stdout.write(status + end)
-                sys.stdout.flush()
-        except cf.TimeoutError:
-            for f in futs:
-                f.cancel()
-            raise TimeoutError_(
-                f'tile call did not complete within {timeout} s')
-        except KeyboardInterrupt:
-            for f in futs:
-                f.cancel()
-            raise
+    saved = sys.stdout, sys.stderr
+    sys.stdout, sys.stderr = router_out, router_err
+    try:
+        with cf.ThreadPoolExecutor(nb_workers) as pool:
+            futs = [pool.submit(call, item) for item in list_of_args]
+            try:
+                for fut in futs:
+                    results.append(fut.result(timeout=timeout))
+                    done_count[0] += 1
+                    status = 'done {} / {} tiles'.format(done_count[0], n)
+                    end = '\n' if done_count[0] == n else '\r'
+                    router_out.fallback.write(status + end)
+                    router_out.fallback.flush()
+            except cf.TimeoutError:
+                for f in futs:
+                    f.cancel()
+                raise TimeoutError_(
+                    f'tile call did not complete within {timeout} s')
+            except KeyboardInterrupt:
+                for f in futs:
+                    f.cancel()
+                raise
+    finally:
+        sys.stdout, sys.stderr = saved
     return results
 
 

@@ -43,3 +43,36 @@ def test_extra_args_and_tuple_items():
     out = runner.launch_calls(f, [(1, 2), (3, 4)], 2, 10, tilewise=False,
                               timeout=10)
     assert out == [13, 17]
+
+
+def test_tile_logs_isolated_per_thread(tmp_path):
+    """Each tile's prints land only in its own stdout.log; driver progress
+    lines don't leak into tile logs (thread-local stream routing)."""
+    tiles = []
+    for k in range(6):
+        d = tmp_path / f'tile_{k}'
+        d.mkdir()
+        tiles.append({'dir': str(d)})
+
+    def work(tile):
+        print(f"hello from {tile['dir']}")
+        time.sleep(0.01)
+        return tile['dir']
+
+    out = runner.launch_calls(work, tiles, 3, timeout=30)
+    assert out == [t['dir'] for t in tiles]
+    for t in tiles:
+        log = (tmp_path / t['dir'] / 'stdout.log').read_text()
+        assert log == f"hello from {t['dir']}\n"
+
+
+def test_worker_exception_logged_in_tile_log(tmp_path):
+    d = tmp_path / 'tile_x'
+    d.mkdir()
+
+    def boom(tile):
+        raise RuntimeError('tile exploded')
+
+    with pytest.raises(RuntimeError, match='tile exploded'):
+        runner.launch_calls(boom, [{'dir': str(d)}], 1, timeout=30)
+    assert 'tile exploded' in (d / 'stdout.log').read_text()

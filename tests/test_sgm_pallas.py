@@ -46,6 +46,19 @@ def test_aggregate_matches_lax(nb_dir, mgm):
         np.testing.assert_array_equal(np.asarray(vp), np.asarray(vl))
 
 
+def test_tsgm3_matches_lax():
+    im1, im2 = _pair(seed=5)
+    base = SgmParams(mgm_neighbors=3)
+    S_lax, _, v_lax = _aggregate(im1, im2, -8, 7,
+                                 dataclasses.replace(base, backend='lax'))
+    S_pl, _, v_pl = _aggregate(im1, im2, -8, 7,
+                               dataclasses.replace(base, backend='interpret'))
+    np.testing.assert_allclose(np.asarray(S_pl), np.asarray(S_lax),
+                               rtol=0, atol=1e-4)
+    for vp, vl in zip(v_pl, v_lax):
+        np.testing.assert_array_equal(np.asarray(vp), np.asarray(vl))
+
+
 def test_edge_aware_p2_matches_lax():
     im1, im2 = _pair(seed=3)
     base = SgmParams(p2_edge_scale=0.5)
