@@ -165,6 +165,13 @@ def compute_disparity_map(cfg: Config, im1, im2, disp_min=None, disp_max=None,
         from ..ops import msmw
         disp, valid = msmw.disparity(im1, im2, disp_min, disp_max)
         conf = None
+    elif algo == 'micmac':
+        # the reference drives an external IGN MicMac installation
+        # (block_matching.py:312-336); it is not bundled here either
+        raise NotImplementedError(
+            "matcher 'micmac' requires an external MicMac installation; "
+            "use one of the built-in engines (mgm, mgm_multi, sgbm, msmw, "
+            "tvl1, hirschmuller02/08*)")
     else:
         raise NotImplementedError(f'unknown matching algorithm {algo!r}')
 

@@ -59,3 +59,25 @@ def test_global_mean_height_allreduce():
     alts[0, :4] = np.nan
     got = global_mean_height_allreduce(mesh, alts)
     assert np.isclose(got, np.nanmean(alts), rtol=1e-5)
+
+
+def test_driver_dryrun_multichip():
+    """The driver's multi-chip dry run (full sharded training-equivalent
+    step: SGM + triangulation + psum'ed global stats) compiles and runs on
+    the virtual 8-device mesh."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'graft_entry', '/root/repo/__graft_entry__.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_micmac_is_gated():
+    from s2p_tpu.config import Config
+    from s2p_tpu.core import matching
+    cfg = Config(images=(), out_dir='/tmp/x')
+    with pytest.raises(NotImplementedError, match='micmac'):
+        matching.compute_disparity_map(cfg, np.ones((16, 16)),
+                                       np.ones((16, 16)), -2, 2,
+                                       algo='micmac')
