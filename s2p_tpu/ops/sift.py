@@ -84,8 +84,9 @@ def _upsample2(img):
     b = img[y0[:, None], x1[None, :]]
     c = img[y1[:, None], x0[None, :]]
     d = img[y1[:, None], x1[None, :]]
-    return a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx \
+    out = a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx \
         + c * fy * (1 - fx) + d * fy * fx
+    return np.asarray(out, dtype=np.float32)
 
 
 def _build_scale_space(img, n_oct, n_spo):
@@ -259,6 +260,23 @@ def _orientations(grad_mag, grad_ori, y, x, sigma_oct, delta):
         n, 8_000_000, (2 * r + 1) ** 2, y, x, np.asarray(sigma_oct))
 
 
+def _hist_peaks(hist):
+    """Orientation angles from smoothed 36-bin histograms (host, tiny):
+    local maxima >= 0.8 * max, parabolic bin refinement."""
+    n = len(hist)
+    mx = hist.max(axis=1, keepdims=True)
+    hp = np.roll(hist, 1, axis=1)
+    hn = np.roll(hist, -1, axis=1)
+    peak = (hist > hp) & (hist > hn) & (hist >= 0.8 * mx) & (mx > 0)
+    den = hp + hn - 2 * hist
+    with np.errstate(divide='ignore', invalid='ignore'):
+        db = np.where(den != 0, (hp - hn) / (2 * den), 0.0)
+    theta = 2 * np.pi * (np.arange(N_BINS)[None, :] + 0.5 + db) / N_BINS
+    theta = np.where(theta <= np.pi, theta, theta - 2 * np.pi)
+    return [theta[i][peak[i]] for i in range(n)]
+
+
+
 def _orientations_impl(grad_mag, grad_ori, y, x, sigma_oct):
     """Principal orientations of keypoints from a 36-bin gradient histogram
     (IPOL: 3*lambda_ori*sigma window, 6x circular box smoothing, 0.8 gate,
@@ -301,8 +319,19 @@ def _orientations_impl(grad_mag, grad_ori, y, x, sigma_oct):
     return out
 
 
+def _use_device_sift():
+    import os
+    mode = os.environ.get('S2P_TPU_SIFT_DEVICE', 'auto')
+    if mode in ('1', 'device', 'on'):
+        return True
+    if mode in ('0', 'host', 'off'):
+        return False
+    import jax
+    return jax.default_backend() == 'tpu'
+
+
 def _descriptors_batch(grad_mag, grad_ori, yc, xc, sigma, theta):
-    """Chunked driver for :func:`_descriptors_batch_impl`."""
+    """Chunked driver for the host descriptor stage."""
     n = len(yc)
     if n == 0:
         return np.zeros((0, 128), dtype=np.float32)
@@ -312,6 +341,35 @@ def _descriptors_batch(grad_mag, grad_ori, yc, xc, sigma, theta):
         lambda a, b, c, d: _descriptors_batch_impl(grad_mag, grad_ori, a, b, c, d),
         n, 8_000_000, (2 * r + 1) ** 2, np.asarray(yc), np.asarray(xc),
         np.asarray(sigma), np.asarray(theta))
+
+
+# --------------------------------------------------------------------- #
+# Device descriptor stage (TPU): patch gather by vmapped dynamic_slice +
+# separable trilinear binning as batched matmuls (MXU work).  The per-job
+# histogram D[u, v, o] = sum_p w_p * hat_u[p,u] * hat_v[p,v] * hat_o[p,o]
+# factorizes over the three bin axes, so the scatter the host path does
+# with bincount becomes four (4, P) x (P, 8) batched matmuls per chunk.
+#
+# Tunnel-latency discipline: a device<->host round trip through the axon
+# tunnel costs ~50-100 ms regardless of size, so the per-octave drivers
+# below are split into dispatch (returns device arrays immediately) and a
+# single batched fetch at the end of the detection flow
+# (:func:`_fetch_all`), giving 2 round trips per image instead of 2 per
+# (octave, scale) group.
+# --------------------------------------------------------------------- #
+
+_DESC_CHUNK = 256
+
+
+def _fetch_all(arrays):
+    """Start all device->host copies, then materialize (overlaps the
+    per-array tunnel latency)."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:
+            pass
+    return [np.asarray(a) for a in arrays]
 
 
 def _descriptors_batch_impl(grad_mag, grad_ori, yc, xc, sigma, theta):
@@ -383,6 +441,31 @@ def _descriptors_batch_impl(grad_mag, grad_ori, yc, xc, sigma, theta):
     return q.astype(np.float32)
 
 
+def _describe_group_host(grp):
+    """Host orientation + descriptor stages for one (octave, scale) group:
+    returns (job_kp indices, job_theta, desc (m, 128))."""
+    v = grp['g']
+    gy = np.zeros_like(v)      # d/d(row)
+    gx = np.zeros_like(v)      # d/d(col)
+    gy[1:-1, :] = 0.5 * (v[2:, :] - v[:-2, :])
+    gx[:, 1:-1] = 0.5 * (v[:, 2:] - v[:, :-2])
+    gmag = np.hypot(gx, gy)
+    # IPOL axis convention: the first image axis is 'x' (rows), so the
+    # reference orientation is atan2(d/dcol, d/drow)
+    gori = np.arctan2(gx, gy)
+
+    ys, xs, sigma_oct = grp['ys'], grp['xs'], grp['sigma_oct']
+    oris = _orientations(gmag, gori, ys, xs, sigma_oct, grp['delta'])
+    job_kp = np.array([i for i, a in enumerate(oris) for _ in a],
+                      dtype=np.int64)
+    job_theta = np.array([t for a in oris for t in a], dtype=np.float64)
+    if len(job_kp) == 0:
+        return job_kp, job_theta, np.zeros((0, 128), np.float32)
+    descs = _descriptors_batch(gmag, gori, ys[job_kp], xs[job_kp],
+                               sigma_oct[job_kp], job_theta)
+    return job_kp, job_theta, descs
+
+
 @functools.lru_cache(maxsize=2)
 def _jit_dense():
     import jax
@@ -399,10 +482,15 @@ def keypoints_from_array(arr, thresh_dog=0.0133, n_octaves=8, n_scales=3,
     Returns (n, 132) float32 rows (x, y, scale, orientation, descriptor),
     the contract of the reference ctypes wrapper (sift.py:33-82).
     """
+    if _use_device_sift():
+        from .sift_tpu import keypoints_from_array_tpu
+        return keypoints_from_array_tpu(arr, thresh_dog, n_octaves,
+                                        n_scales, offset)
+
     arr = np.asarray(arr, dtype=np.float32)
     octaves = _build_scale_space(arr, n_octaves, n_scales)
 
-    rows = []
+    groups = []
     for (g, dog, delta) in octaves:
         dog_np = np.asarray(dog)
         # pre-filter weak extrema before interpolation (IPOL 0.8 * C_DoG)
@@ -414,45 +502,28 @@ def keypoints_from_array(arr, thresh_dog=0.0133, n_octaves=8, n_scales=3,
         if len(pos) == 0:
             continue
 
-        # per-scale gradient fields of the gaussian images
         g_np = np.asarray(g)
         for s_idx in range(1, n_scales + 1 + 1):
             sel = pos[:, 0] == s_idx
             if not sel.any():
                 continue
-            v = g_np[s_idx]
-            gy = np.zeros_like(v)      # d/d(row)
-            gx = np.zeros_like(v)      # d/d(col)
-            gy[1:-1, :] = 0.5 * (v[2:, :] - v[:-2, :])
-            gx[:, 1:-1] = 0.5 * (v[:, 2:] - v[:, :-2])
-            gmag = np.hypot(gx, gy)
-            # IPOL axis convention: the first image axis is 'x' (rows), so
-            # the reference orientation is atan2(d/dcol, d/drow)
-            gori = np.arctan2(gx, gy)
-
             ys = pos[sel, 1] + off[sel, 1]
             xs = pos[sel, 2] + off[sel, 2]
             ss = pos[sel, 0] + off[sel, 0]
             sigma = delta / DELTA_MIN * SIGMA_MIN * 2.0 ** (ss / n_scales)
-            sigma_oct = sigma / delta
+            groups.append(dict(g=g_np[s_idx], delta=delta, ys=ys, xs=xs,
+                               sigma=sigma, sigma_oct=sigma / delta))
 
-            oris = _orientations(gmag, gori, ys, xs, sigma_oct, delta)
-            # flatten (keypoint, orientation) jobs and batch the descriptors
-            job_kp = []
-            job_theta = []
-            for i, angles in enumerate(oris):
-                for theta in angles:
-                    job_kp.append(i)
-                    job_theta.append(theta)
-            if not job_kp:
-                continue
-            job_kp = np.asarray(job_kp)
-            job_theta = np.asarray(job_theta)
-            descs = _descriptors_batch(gmag, gori, ys[job_kp], xs[job_kp],
-                                       sigma_oct[job_kp], job_theta)
-            heads = np.column_stack([xs[job_kp] * delta, ys[job_kp] * delta,
-                                     sigma[job_kp], job_theta])
-            rows.append(np.hstack([heads, descs]))
+    described = [_describe_group_host(grp) for grp in groups]
+
+    rows = []
+    for grp, (job_kp, job_theta, descs) in zip(groups, described):
+        if len(job_kp) == 0:
+            continue
+        heads = np.column_stack([grp['xs'][job_kp] * grp['delta'],
+                                 grp['ys'][job_kp] * grp['delta'],
+                                 grp['sigma'][job_kp], job_theta])
+        rows.append(np.hstack([heads, descs]))
 
     if not rows:
         return np.zeros((0, 132), dtype=np.float32)
@@ -488,6 +559,51 @@ def image_keypoints(img, x, y, w, h, max_nb=None, thresh_dog=0.0133,
 # Matching
 # --------------------------------------------------------------------- #
 
+@functools.lru_cache(maxsize=16)
+def _match_kernel_jit():
+    import jax
+    import jax.numpy as jnp
+
+    def kernel(k1, k2, n1, n2, fc, gate):
+        """Nearest + second-nearest descriptor distances with the epipolar
+        gate applied inside the search (the reference C matcher contract,
+        sift.py:189-237).  The (N1, N2) distance matrix lives only on
+        device; outputs are three (N1,) vectors."""
+        d1 = k1[:, 4:]
+        d2 = k2[:, 4:]
+        sq = (jnp.sum(d1 * d1, axis=1)[:, None]
+              + jnp.sum(d2 * d2, axis=1)[None, :]
+              - 2.0 * jnp.dot(d1, d2.T, preferred_element_type=jnp.float32))
+        sq = jnp.maximum(sq, 0.0)
+        lin = (fc[0] * k2[None, :, 0] + fc[1] * k2[None, :, 1]
+               + (fc[2] * k1[:, 0] + fc[3] * k1[:, 1] + fc[4])[:, None])
+        big = jnp.float32(jnp.inf)
+        cols = jnp.arange(k2.shape[0])[None, :]
+        sq = jnp.where((jnp.abs(lin) > gate) | (cols >= n2), big, sq)
+        nn = jnp.argmin(sq, axis=1)
+        best = jnp.min(sq, axis=1)
+        sq2 = jnp.where(cols == nn[:, None], big, sq)
+        second = jnp.min(sq2, axis=1)
+        return nn, best, second
+
+    return jax.jit(kernel)
+
+
+def _match_device(k1, k2, fc, gate, bucket=2048):
+    """Bucket-padded device driver for the matching kernel."""
+    n1, n2 = len(k1), len(k2)
+    N1 = -(-n1 // bucket) * bucket
+    N2 = -(-n2 // bucket) * bucket
+    k1p = np.zeros((N1, k1.shape[1]), np.float32)
+    k2p = np.zeros((N2, k2.shape[1]), np.float32)
+    k1p[:n1] = k1
+    k2p[:n2] = k2
+    nn, best, second = _match_kernel_jit()(k1p, k2p, n1, n2,
+                                           fc.astype(np.float32),
+                                           np.float32(gate))
+    return (np.asarray(nn)[:n1], np.asarray(best)[:n1],
+            np.asarray(second)[:n1])
+
 def keypoints_match(k1, k2, method='relative', sift_thresh=0.6, F=None,
                     epipolar_threshold=10, model=None, ransac_max_err=0.3):
     """Match two keypoint sets: epipolar-gated nearest-neighbor with ratio /
@@ -502,27 +618,32 @@ def keypoints_match(k1, k2, method='relative', sift_thresh=0.6, F=None,
     if len(k1) == 0 or len(k2) == 0:
         return np.zeros((0, 4), dtype=np.float32)
 
-    # The distance matrix is a few GFLOP -- host BLAS territory.  (A TPU
-    # matmul would be instant but each fresh (n1, n2) shape costs a remote
-    # compile through the tunnel, orders of magnitude more than the math.)
-    d1 = k1[:, 4:]
-    d2 = k2[:, 4:]
-    sq = (np.einsum('ij,ij->i', d1, d1)[:, None]
-          + np.einsum('ij,ij->i', d2, d2)[None, :] - 2.0 * (d1 @ d2.T))
-    np.maximum(sq, 0.0, out=sq)
-
     if F is not None:
-        F = np.asarray(F, dtype=np.float64)
-        a, b = F[0, 2], F[1, 2]
-        c, d, e = F[2, 0], F[2, 1], F[2, 2]
-        lin = (a * k2[None, :, 0] + b * k2[None, :, 1]
-               + (c * k1[:, 0] + d * k1[:, 1] + e)[:, None])
-        sq[np.abs(lin) > epipolar_threshold * math.hypot(a, b)] = np.inf
+        Fm = np.asarray(F, dtype=np.float64)
+        fc = np.array([Fm[0, 2], Fm[1, 2], Fm[2, 0], Fm[2, 1], Fm[2, 2]],
+                      dtype=np.float32)
+        gate = float(epipolar_threshold * math.hypot(fc[0], fc[1]))
+    else:
+        fc = np.zeros(5, dtype=np.float32)
+        gate = float('inf')
 
-    nn = np.argmin(sq, axis=1)
-    best = sq[np.arange(len(sq)), nn]
-    sq[np.arange(len(sq)), nn] = np.inf
-    second = np.min(sq, axis=1)
+    if _use_device_sift():
+        nn, best, second = _match_device(k1, k2, fc, gate)
+    else:
+        # host BLAS distance matrix
+        d1 = k1[:, 4:]
+        d2 = k2[:, 4:]
+        sq = (np.einsum('ij,ij->i', d1, d1)[:, None]
+              + np.einsum('ij,ij->i', d2, d2)[None, :] - 2.0 * (d1 @ d2.T))
+        np.maximum(sq, 0.0, out=sq)
+        if F is not None:
+            lin = (fc[0] * k2[None, :, 0] + fc[1] * k2[None, :, 1]
+                   + (fc[2] * k1[:, 0] + fc[3] * k1[:, 1] + fc[4])[:, None])
+            sq[np.abs(lin) > gate] = np.inf
+        nn = np.argmin(sq, axis=1)
+        best = sq[np.arange(len(sq)), nn]
+        sq[np.arange(len(sq)), nn] = np.inf
+        second = np.min(sq, axis=1)
 
     if method == 'relative':
         ok = np.sqrt(best) < sift_thresh * np.sqrt(second)

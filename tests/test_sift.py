@@ -71,3 +71,34 @@ def test_ransac_rejects_outliers():
     inliers, F = sift.ransac_fundamental_matrix(matches, ntrials=200, max_err=0.3)
     assert len(set(inliers) & set(bad)) <= 3
     assert len(inliers) >= 70
+
+
+def test_device_sift_matches_host(triplet_img2, monkeypatch):
+    """The device stages (MXU descriptor contraction, orientation
+    histograms, matmul matcher) agree with the host implementations up to
+    f32-vs-f64 accumulation noise."""
+    monkeypatch.setenv('S2P_TPU_SIFT_DEVICE', 'host')
+    kp_host = sift.image_keypoints(triplet_img2, 100, 100, 150, 150)
+    monkeypatch.setenv('S2P_TPU_SIFT_DEVICE', 'device')
+    kp_dev = sift.image_keypoints(triplet_img2, 100, 100, 150, 150)
+    # same (keypoint, orientation) jobs up to borderline flips from the
+    # f32 device blur/refinement (the host path accumulates in f64) and
+    # bucket-padding boundary effects
+    assert abs(len(kp_dev) - len(kp_host)) <= 0.03 * len(kp_host)
+    d, idx = cKDTree(kp_host[:, :4]).query(kp_dev[:, :4], k=1)
+    close = d < 1e-3
+    assert close.mean() > 0.93
+    # interior keypoints (away from the crop border) agree almost exactly
+    inner = ((kp_dev[:, 0] > 110) & (kp_dev[:, 0] < 240)
+             & (kp_dev[:, 1] > 110) & (kp_dev[:, 1] < 240))
+    assert close[inner].mean() > 0.97
+    # descriptors: quantized 0..255 ints; off-by-few bins tolerated
+    diff = np.abs(kp_dev[close, 4:] - kp_host[idx[close], 4:])
+    assert (diff <= 1).mean() > 0.99
+
+    # device matcher == host matcher on identical inputs
+    monkeypatch.setenv('S2P_TPU_SIFT_DEVICE', 'host')
+    m_host = sift.keypoints_match(kp_host, kp_dev)
+    monkeypatch.setenv('S2P_TPU_SIFT_DEVICE', 'device')
+    m_dev = sift.keypoints_match(kp_host, kp_dev)
+    assert abs(len(m_dev) - len(m_host)) <= max(2, 0.01 * len(m_host))
