@@ -81,3 +81,51 @@ def test_micmac_is_gated():
         matching.compute_disparity_map(cfg, np.ones((16, 16)),
                                        np.ones((16, 16)), -2, 2,
                                        algo='micmac')
+
+
+def test_sharded_dsm_halo_exchange_matches_monolithic():
+    """ppermute halo exchange: a mesh-row of tiles rasterized with border
+    splat exchange equals the monolithic rasterization of all points."""
+    from s2p_tpu.parallel.halo import sharded_dsm
+    from s2p_tpu.ops.rasterize import plyflatten
+
+    mesh = TileMesh()
+    n, gw, gh, halo, res = mesh.n, 16, 12, 2, 1.0
+    yoff = 100.0
+    rng = np.random.RandomState(0)
+    n_pts = 300
+    tile_points = np.zeros((n, n_pts, 3), np.float32)
+    tile_valid = np.ones((n, n_pts), bool)
+    xoffs = np.array([1000.0 + k * gw * res for k in range(n)], np.float32)
+    for k in range(n):
+        # points of tile k, spilling laterally by up to `halo` cells
+        x = xoffs[k] + rng.uniform(-halo * res, gw * res + halo * res, n_pts)
+        x = np.clip(x, 1000.0, 1000.0 + n * gw * res - 1e-3)
+        y = yoff - rng.uniform(0, gh * res, n_pts)
+        z = rng.uniform(10, 50, n_pts)
+        tile_points[k] = np.column_stack([x, y, z])
+
+    out = sharded_dsm(mesh, tile_points, tile_valid, xoffs, yoff, res,
+                      gw, gh, halo)
+    assert out.shape == (n, gh, gw)
+
+    allpts = tile_points.reshape(-1, 3)
+    ref = plyflatten(allpts, 1000.0, yoff, res, n * gw, gh, radius=0)[..., 0]
+    got = np.concatenate(list(out), axis=1)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(ref))
+    m = ~np.isnan(ref)
+    np.testing.assert_allclose(got[m], ref[m], rtol=1e-5, atol=1e-4)
+
+
+def test_distributed_pointing_fit_matches_lstsq():
+    from s2p_tpu.parallel.halo import distributed_pointing_fit
+
+    mesh = TileMesh()
+    rng = np.random.RandomState(1)
+    n = mesh.n * 4
+    centers = rng.uniform(0, 1000, (n, 2))
+    M_true = np.array([[1.0, 0.01, 3.0], [-0.02, 0.99, -7.0], [0, 0, 1.0]])
+    h = np.column_stack([centers, np.ones(n)])
+    corrected = (h @ M_true.T)[:, :2]
+    M = distributed_pointing_fit(mesh, centers, corrected)
+    np.testing.assert_allclose(M, M_true, rtol=1e-3, atol=1e-3)
