@@ -159,17 +159,29 @@ def _scan_pass(cost, dx, dy, p1, p2, mgm=True, p2_vol=None, mgm_neighbors=2):
 
 
 def _nan_median3(x):
-    """3x3 NaN-aware median (lower-median for even valid counts)."""
+    """3x3 NaN-aware median (lower-median for even valid counts).
+
+    Sorting-network formulation: jnp.sort lowers to a slow generic sort on
+    TPU; an odd-even transposition network over the 9 taps is pure
+    min/max VPU work.
+    """
     h, w = x.shape
     pad = jnp.pad(x, 1, constant_values=jnp.nan)
-    stack = jnp.stack([pad[dy:dy + h, dx:dx + w]
-                       for dy in range(3) for dx in range(3)], axis=-1)
+    taps = [pad[dy:dy + h, dx:dx + w]
+            for dy in range(3) for dx in range(3)]
     big = jnp.asarray(jnp.inf, x.dtype)
-    filled = jnp.where(jnp.isnan(stack), big, stack)
-    srt = jnp.sort(filled, axis=-1)
-    n = jnp.sum(~jnp.isnan(stack), axis=-1)
+    n = sum(jnp.isfinite(t).astype(jnp.int32) for t in taps)
+    v = [jnp.where(jnp.isnan(t), big, t) for t in taps]
+    # odd-even transposition sort, 9 rounds (provably sorts 9 inputs)
+    for r in range(9):
+        for i in range(r % 2, 8, 2):
+            lo = jnp.minimum(v[i], v[i + 1])
+            hi = jnp.maximum(v[i], v[i + 1])
+            v[i], v[i + 1] = lo, hi
     idx = jnp.maximum(n - 1, 0) // 2
-    med = jnp.take_along_axis(srt, idx[..., None], axis=-1)[..., 0]
+    med = v[0]
+    for k in range(1, 9):
+        med = jnp.where(idx == k, v[k], med)
     return jnp.where(n > 0, med, jnp.nan)
 
 
