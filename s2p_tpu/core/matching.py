@@ -121,16 +121,20 @@ def compute_disparity_map(cfg: Config, im1, im2, disp_min=None, disp_max=None,
         disp, valid, conf = match_pair(im1, im2, disp_min, disp_max, params)
     elif algo in ('mgm_multi', 'mgm_multi_lsd'):
         params = _sgm_params_from_cfg(cfg, multi=True)
+        p2_scale = None
         if algo == 'mgm_multi_lsd':
             # the reference's LSD variant lowers regularization on detected
-            # line segments (weights 0.1 on segments, block_matching.py:
-            # 191-218) and raises the base penalties (P1 12, P2 48); the
-            # in-process equivalent is a strong edge-aware P2 attenuation
+            # line segments: weight 0.1 on segments, 1 off
+            # (block_matching.py:191-218, lsd | pview | plambda pipeline),
+            # with raised base penalties (P1 12, P2 48)
+            from ..ops.lsd import lsd_weights
+            mult = cfg.stereo_regularity_multiplier
             params = SgmParams(**{**params.__dict__,
-                                  'p1': 18.0 * cfg.stereo_regularity_multiplier,
-                                  'p2': 96.0 * cfg.stereo_regularity_multiplier,
-                                  'p2_edge_scale': 0.1})
-        disp, valid, conf = _match_multiscale(im1, im2, disp_min, disp_max, params)
+                                  'p1': 12.0 * mult, 'p2': 48.0 * mult,
+                                  'p2_edge_scale': 1.0})
+            p2_scale = lsd_weights(im1)
+        disp, valid, conf = _match_multiscale(im1, im2, disp_min, disp_max,
+                                              params, p2_scale=p2_scale)
         if params.speckle_min_area:
             valid = remove_small_disparity_speckles(
                 np.nan_to_num(disp), valid, params.speckle_min_area, tol=1.0)
@@ -187,26 +191,31 @@ def compute_disparity_map(cfg: Config, im1, im2, disp_min=None, disp_max=None,
 
 
 def _match_multiscale(im1, im2, disp_min, disp_max, params: SgmParams,
-                      max_fine_range=64):
+                      max_fine_range=64, p2_scale=None):
     """Two-level coarse-to-fine cascade (mgm_multi '-S' behavior, expressed
     as a range-restriction pyramid: the coarse disparity histogram bounds
     the fine search range)."""
     D = disp_max - disp_min + 1
     if D <= max_fine_range or min(im1.shape) < 64:
-        return match_pair(im1, im2, disp_min, disp_max, params)
+        return match_pair(im1, im2, disp_min, disp_max, params,
+                          p2_scale=p2_scale)
 
     c1 = _downsample2(im1)
     c2 = _downsample2(im2)
+    cs = None if p2_scale is None else \
+        np.nan_to_num(_downsample2(p2_scale), nan=1.0).astype(np.float32)
     cd_min = int(np.floor(disp_min / 2)) - 1
     cd_max = int(np.ceil(disp_max / 2)) + 1
     cdisp, cvalid, _ = _match_multiscale(c1, c2, cd_min, cd_max, params,
-                                         max_fine_range)
+                                         max_fine_range, p2_scale=cs)
     good = cvalid.astype(bool) & np.isfinite(cdisp)
     if good.sum() < 50:
-        return match_pair(im1, im2, disp_min, disp_max, params)
+        return match_pair(im1, im2, disp_min, disp_max, params,
+                          p2_scale=p2_scale)
     lo, hi = np.percentile(2.0 * cdisp[good], [1, 99])
     fine_min = max(disp_min, int(np.floor(lo)) - 4)
     fine_max = min(disp_max, int(np.ceil(hi)) + 4)
     if fine_max <= fine_min:
         fine_min, fine_max = disp_min, disp_max
-    return match_pair(im1, im2, fine_min, fine_max, params)
+    return match_pair(im1, im2, fine_min, fine_max, params,
+                      p2_scale=p2_scale)

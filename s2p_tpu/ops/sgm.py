@@ -255,12 +255,23 @@ def _use_pallas(im1, im2, disp_min, disp_max, params) -> bool:
             and D % 8 == 0)
 
 
-def _aggregate(im1, im2, disp_min, disp_max, params):
-    """Cost volume + multi-direction aggregation: returns
-    (S, valid, votes)."""
+def _p2_map(im1, params, p2_scale=None):
+    """Per-pixel P2 penalty: edge-aware attenuation and/or an external
+    multiplicative weight map (the mgm -wl LSD weights contract)."""
     p2_vol = None
     if params.p2_edge_scale != 1.0:
         p2_vol = _edge_p2_map(im1, params.p2, params.p2_edge_scale)
+    if p2_scale is not None:
+        base = p2_vol if p2_vol is not None else jnp.full(
+            im1.shape, params.p2, jnp.float32)
+        p2_vol = base * p2_scale
+    return p2_vol
+
+
+def _aggregate(im1, im2, disp_min, disp_max, params, p2_scale=None):
+    """Cost volume + multi-direction aggregation: returns
+    (S, valid, votes)."""
+    p2_vol = _p2_map(im1, params, p2_scale)
 
     if _use_pallas(im1, im2, disp_min, disp_max, params):
         from .sgm_pallas import aggregate as aggregate_pallas
@@ -290,7 +301,8 @@ def _aggregate(im1, im2, disp_min, disp_max, params):
 
 
 @functools.partial(jax.jit, static_argnames=('disp_min', 'disp_max', 'params'))
-def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams):
+def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams,
+              p2_scale=None):
     """Dense disparity of a rectified pair by census + SGM aggregation.
 
     Args:
@@ -304,9 +316,7 @@ def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams):
     """
     if _use_pallas(im1, im2, disp_min, disp_max, params):
         from .sgm_pallas import match_pallas
-        p2map = None
-        if params.p2_edge_scale != 1.0:
-            p2map = _edge_p2_map(im1, params.p2, params.p2_edge_scale)
+        p2map = _p2_map(im1, params, p2_scale)
         r = match_pallas(im1, im2, disp_min, disp_max, params, p2map,
                          interpret=(params.backend == 'interpret'))
         d_int, votes, val1 = r['d_int'], r['votes'], r['valid1']
@@ -314,7 +324,8 @@ def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams):
         S = None
         dR_vol = r['dR']
     else:
-        S, val1, votes = _aggregate(im1, im2, disp_min, disp_max, params)
+        S, val1, votes = _aggregate(im1, im2, disp_min, disp_max, params,
+                                    p2_scale)
         d_int = jnp.argmin(S, axis=-1)
         off = _subpixel(S, d_int, params.subpix)
         disp = disp_min + d_int.astype(jnp.float32) + off
@@ -369,7 +380,8 @@ def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams):
 
 
 def match_pair(im1, im2, disp_min, disp_max, params: SgmParams = SgmParams(),
-               d_pad_multiple: int = 16, hw_pad_multiple: int = 64):
+               d_pad_multiple: int = 16, hw_pad_multiple: int = 64,
+               p2_scale=None):
     """Host wrapper: pads the disparity range to a lane-friendly multiple and
     the image shapes to ``hw_pad_multiple`` buckets (NaN margin), so all the
     tiles of a scene share a handful of compiled programs.  Returns numpy
@@ -391,8 +403,13 @@ def match_pair(im1, im2, disp_min, disp_max, params: SgmParams = SgmParams(),
         out[:a.shape[0], :a.shape[1]] = a
         return out
 
+    p2s = None
+    if p2_scale is not None:
+        p2s = np.ones((Hp, Wp), dtype=np.float32)
+        p2s[:p2_scale.shape[0], :p2_scale.shape[1]] = p2_scale
+        p2s = jnp.asarray(p2s)
     out = sgm_match(jnp.asarray(pad(im1)), jnp.asarray(pad(im2)),
-                    disp_min, disp_max_p, params)
+                    disp_min, disp_max_p, params, p2s)
     disp = np.array(out['disp'])[:h, :w]
     valid = np.array(out['valid'])[:h, :w]
     conf = np.asarray(out['confidence'])[:h, :w]
