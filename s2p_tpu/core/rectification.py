@@ -228,7 +228,7 @@ def rectify_pair(cfg: Config, im1, im2, rpc1, rpc2, x, y, w, h, A=None,
 
     out_w = int(w0 + 2 * hmargin)
     out_h = int(h0 + 2 * vmargin)
-    from ..ops.homography import image_apply_homography
-    rect1 = image_apply_homography(im1, H1, out_w, out_h)
-    rect2 = image_apply_homography(im2, H2, out_w, out_h)
+    from ..ops.homography import image_apply_homographies
+    rect1, rect2 = image_apply_homographies(
+        [(im1, H1, out_w, out_h), (im2, H2, out_w, out_h)])
     return rect1, rect2, H1, H2, disp_m, disp_M

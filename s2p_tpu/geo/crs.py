@@ -73,11 +73,21 @@ def utm_forward(lon, lat, zone, south):
     xi_p = np.arctan2(t, np.cos(lam))
     eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
 
-    j = np.arange(1, 7).reshape([-1] + [1] * np.ndim(xi_p))
-    xi = xi_p + np.sum(_ALPHA.reshape(j.shape) * np.sin(2 * j * xi_p)
-                       * np.cosh(2 * j * eta_p), axis=0)
-    eta = eta_p + np.sum(_ALPHA.reshape(j.shape) * np.cos(2 * j * xi_p)
-                         * np.sinh(2 * j * eta_p), axis=0)
+    # complex Karney series: xi + i*eta = zeta + sum_j alpha_j sin(2j zeta)
+    # with zeta = xi' + i*eta'; sin(2j zeta) via powers of exp(2i zeta)
+    # (one complex exp instead of 24 transcendental arrays)
+    zeta = xi_p + 1j * eta_p
+    e1 = np.exp(2j * zeta)
+    i1 = 1.0 / e1
+    ej, ij_ = e1, i1
+    corr = _ALPHA[0] * ((ej - ij_) / 2j)
+    for j_ in range(1, 6):
+        ej = ej * e1
+        ij_ = ij_ * i1
+        corr = corr + _ALPHA[j_] * ((ej - ij_) / 2j)
+    z = zeta + corr
+    xi = z.real
+    eta = z.imag
 
     E = _E0 + _K0 * _A_RECT * eta
     Nn = _K0 * _A_RECT * xi
@@ -95,11 +105,19 @@ def utm_inverse(E, Nn, zone, south):
     xi = Nn / (_K0 * _A_RECT)
     eta = (E - _E0) / (_K0 * _A_RECT)
 
-    j = np.arange(1, 7).reshape([-1] + [1] * np.ndim(xi))
-    xi_p = xi - np.sum(_BETA.reshape(j.shape) * np.sin(2 * j * xi)
-                       * np.cosh(2 * j * eta), axis=0)
-    eta_p = eta - np.sum(_BETA.reshape(j.shape) * np.cos(2 * j * xi)
-                         * np.sinh(2 * j * eta), axis=0)
+    # complex series (see utm_forward): xi' + i*eta' = z - sum beta_j sin(2jz)
+    z = xi + 1j * eta
+    e1 = np.exp(2j * z)
+    i1 = 1.0 / e1
+    ej, ij_ = e1, i1
+    corr = _BETA[0] * ((ej - ij_) / 2j)
+    for j_ in range(1, 6):
+        ej = ej * e1
+        ij_ = ij_ * i1
+        corr = corr + _BETA[j_] * ((ej - ij_) / 2j)
+    zp = z - corr
+    xi_p = zp.real
+    eta_p = zp.imag
 
     # tan of the conformal latitude
     taup = np.sin(xi_p) / np.hypot(np.sinh(eta_p), np.cos(xi_p))

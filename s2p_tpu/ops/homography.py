@@ -50,3 +50,25 @@ def image_apply_homography(img, H, w, h, order=3):
     out = warp_homography(np.asarray(img, dtype=np.float32),
                           hinv.astype(np.float32), int(w), int(h), order=order)
     return np.asarray(out)
+
+
+def image_apply_homographies(jobs, order=3):
+    """Batch variant: dispatch all warps, then fetch together (one tunnel
+    round-trip set instead of one blocking fetch per warp).
+
+    jobs: iterable of (img, H, w, h); returns list of numpy arrays.
+    """
+    import numpy as np
+    from .interp import warp_homography
+    handles = []
+    for img, H, w, h in jobs:
+        hinv = np.linalg.inv(np.asarray(H, dtype=np.float64))
+        handles.append(warp_homography(np.asarray(img, dtype=np.float32),
+                                       hinv.astype(np.float32), int(w),
+                                       int(h), order=order))
+    for a in handles:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:
+            pass
+    return [np.asarray(a) for a in handles]
