@@ -135,13 +135,32 @@ def distributed_pointing_fit(mesh, centers, corrected):
     ax = mesh.axis
 
     def step(c, d):
-        # affine x' = M x + t, 6 unknowns: rows [x y 1] -> x', y'
-        A = jnp.concatenate([c, jnp.ones((c.shape[0], 1))], axis=1)
+        # affine x' = M x + t, 6 unknowns: rows [x y 1] -> x', y'.
+        # Hartley-style normalization before forming the normal equations:
+        # raw tile centers reach 1e4-1e6 px/UTM, whose squares exhaust f32
+        # significands (the reference centers points and solves in f64 SVD,
+        # estimation.py:178-200); centering + isotropic scaling keeps the
+        # f32 solve well-conditioned on TPU.
+        k = jnp.asarray(c.shape[0], c.dtype)
+        n_tot = jax.lax.psum(k, ax)
+        mu_c = jax.lax.psum(jnp.sum(c, 0), ax) / n_tot
+        mu_d = jax.lax.psum(jnp.sum(d, 0), ax) / n_tot
+        cc, dc = c - mu_c, d - mu_d
+        s_c = jnp.sqrt(jax.lax.psum(jnp.sum(cc * cc), ax) / n_tot) + 1e-12
+        s_d = jnp.sqrt(jax.lax.psum(jnp.sum(dc * dc), ax) / n_tot) + 1e-12
+        cn, dn = cc / s_c, dc / s_d
+        A = jnp.concatenate([cn, jnp.ones((cn.shape[0], 1), cn.dtype)], axis=1)
         AtA = jax.lax.psum(A.T @ A, ax)
-        Atb = jax.lax.psum(A.T @ d, ax)
+        Atb = jax.lax.psum(A.T @ dn, ax)
         sol = jnp.linalg.solve(AtA, Atb)             # (3, 2)
-        M = jnp.concatenate([sol.T, jnp.array([[0.0, 0.0, 1.0]])], axis=0)
-        return M
+        Mn = jnp.concatenate([sol.T, jnp.array([[0.0, 0.0, 1.0]])], axis=0)
+        # denormalize: M = T_d @ Mn @ T_c^{-1}
+        T_d = jnp.array([[s_d, 0.0, mu_d[0]], [0.0, s_d, mu_d[1]],
+                         [0.0, 0.0, 1.0]])
+        T_c_inv = jnp.array([[1.0 / s_c, 0.0, -mu_c[0] / s_c],
+                             [0.0, 1.0 / s_c, -mu_c[1] / s_c],
+                             [0.0, 0.0, 1.0]])
+        return T_d @ Mn @ T_c_inv
 
     sh = NamedSharding(mesh.mesh, P(ax))
     fn = shard_map(step, mesh=mesh.mesh, in_specs=(P(ax), P(ax)),

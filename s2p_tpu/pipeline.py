@@ -520,14 +520,16 @@ def _stage(label):
     print(label)
     prof_dir = os.environ.get('S2P_TPU_PROFILE')
     t0 = time.time()
-    if prof_dir:
-        import jax
-        slug = ''.join(c if c.isalnum() else '_' for c in label.strip('. '))
-        with jax.profiler.trace(os.path.join(prof_dir, slug)):
+    try:
+        if prof_dir:
+            import jax
+            slug = ''.join(c if c.isalnum() else '_' for c in label.strip('. '))
+            with jax.profiler.trace(os.path.join(prof_dir, slug)):
+                yield
+        else:
             yield
-    else:
-        yield
-    print('elapsed time: {:.3f} s'.format(time.time() - t0))
+    finally:
+        print('elapsed time: {:.3f} s'.format(time.time() - t0))
 
 
 def main(user_cfg, start_from=0):
@@ -562,51 +564,53 @@ def main(user_cfg, start_from=0):
     timeout = cfg.timeout
 
     if start_from <= 1:
-      with _stage('1) correcting pointing locally...'):
-          runner.launch_calls(lambda t, i: pointing_correction(cfg, t, i),
-                              tiles_pairs, nb_workers, timeout=timeout,
-                              debug=cfg.debug)
+        with _stage('1) correcting pointing locally...'):
+            runner.launch_calls(lambda t, i: pointing_correction(cfg, t, i),
+                                tiles_pairs, nb_workers, timeout=timeout,
+                                debug=cfg.debug)
     if start_from <= 2:
-      with _stage('2) correcting pointing globally...'):
-          global_pointing_correction(cfg, tiles)
+        with _stage('2) correcting pointing globally...'):
+            global_pointing_correction(cfg, tiles)
     # device-heavy stages run serially: the accelerator stream is the
     # bottleneck and concurrent jit compilation through the TPU tunnel is
     # unreliable; host-heavy stages (pointing, rasterization) stay threaded
     if start_from <= 3:
-      with _stage('3) rectifying tiles...'):
-          runner.launch_calls(lambda t, i: rectification_pair(cfg, t, i),
-                              tiles_pairs, 1, timeout=timeout,
-                              debug=cfg.debug)
+        with _stage('3) rectifying tiles...'):
+            runner.launch_calls(lambda t, i: rectification_pair(cfg, t, i),
+                                tiles_pairs, 1, timeout=timeout,
+                                debug=cfg.debug)
     if start_from <= 4:
-      with _stage('4) running stereo matching...'):
-          runner.launch_calls(lambda t, i: stereo_matching(cfg, t, i),
-                              tiles_pairs, 1, timeout=cfg.mgm_timeout,
-                              debug=cfg.debug)
+        with _stage('4) running stereo matching...'):
+            runner.launch_calls(lambda t, i: stereo_matching(cfg, t, i),
+                                tiles_pairs, 1, timeout=cfg.mgm_timeout,
+                                debug=cfg.debug)
     if start_from <= 5:
         if n > 2:
-          with _stage('5) height maps, offsets, fusion, point clouds...'):
-              runner.launch_calls(lambda t, i: disparity_to_height(cfg, t, i),
-                                  tiles_pairs, 1, timeout=timeout,
-                                  debug=cfg.debug)
-              print('5b) computing local pairwise height offsets...')
-              runner.launch_calls(lambda t: mean_heights(cfg, t), tiles,
-                                  nb_workers, timeout=timeout, debug=cfg.debug)
-              print('5c) computing global pairwise height offsets...')
-              global_mean_heights(cfg, tiles)
-              print('5d) merging height maps and computing point clouds...')
-              runner.launch_calls(lambda t: heights_to_ply(cfg, t), tiles,
-                                  nb_workers, timeout=timeout, debug=cfg.debug)
+            with _stage('5) height maps, offsets, fusion, point clouds...'):
+                runner.launch_calls(
+                    lambda t, i: disparity_to_height(cfg, t, i),
+                    tiles_pairs, 1, timeout=timeout, debug=cfg.debug)
+                print('5b) computing local pairwise height offsets...')
+                runner.launch_calls(lambda t: mean_heights(cfg, t), tiles,
+                                    nb_workers, timeout=timeout,
+                                    debug=cfg.debug)
+                print('5c) computing global pairwise height offsets...')
+                global_mean_heights(cfg, tiles)
+                print('5d) merging height maps and computing point clouds...')
+                runner.launch_calls(lambda t: heights_to_ply(cfg, t), tiles,
+                                    nb_workers, timeout=timeout,
+                                    debug=cfg.debug)
         else:
-          with _stage('5) triangulating tiles...'):
-              runner.launch_calls(lambda t: disparity_to_ply(cfg, t), tiles,
-                                  1, timeout=timeout, debug=cfg.debug)
+            with _stage('5) triangulating tiles...'):
+                runner.launch_calls(lambda t: disparity_to_ply(cfg, t), tiles,
+                                    1, timeout=timeout, debug=cfg.debug)
     if start_from <= 6:
-      with _stage('6) computing DSM by tile...'):
-          runner.launch_calls(lambda t: plys_to_dsm(cfg, t), tiles, nb_workers,
-                              timeout=timeout, debug=cfg.debug)
+        with _stage('6) computing DSM by tile...'):
+            runner.launch_calls(lambda t: plys_to_dsm(cfg, t), tiles,
+                                nb_workers, timeout=timeout, debug=cfg.debug)
     if start_from <= 7:
-      with _stage('7) computing global DSM...'):
-          global_dsm(cfg, tiles)
+        with _stage('7) computing global DSM...'):
+            global_dsm(cfg, tiles)
 
     clear_image_cache()
     return cfg
