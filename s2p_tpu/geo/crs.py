@@ -269,7 +269,7 @@ def transform(x, y, in_crs, out_crs, z=None):
         raise NotImplementedError(f'transform from {in_crs} not supported')
     if z is not None and in_crs.vertical == 5773:
         from . import geoid
-        z = z + geoid.geoid_above_ellipsoid(lat, lon)
+        z = z + geoid.geoid_above_ellipsoid(lat, lon, strict=True)
 
     # from lon/lat/ellipsoid-height
     if out_crs.epsg == 4978:
@@ -287,7 +287,9 @@ def transform(x, y, in_crs, out_crs, z=None):
         return ox, oy
     if out_crs.vertical == 5773:
         from . import geoid
-        z = z - geoid.geoid_above_ellipsoid(lat, lon)
+        # output heights depend on the geoid here: the coarse fallback is a
+        # hard error (geoid.py) unless explicitly overridden
+        z = z - geoid.geoid_above_ellipsoid(lat, lon, strict=True)
     return ox, oy, z
 
 

@@ -6,12 +6,15 @@ runtime, so the geoid is pluggable:
 
   * if the environment variable ``S2P_TPU_GEOID_GRID`` points to a PGM/GTX
     grid file, it is loaded and bilinearly interpolated,
+  * otherwise the standard PROJ data directories are searched for
+    ``egm96_15.gtx`` / ``us_nga_egm96_15.gtx``,
   * otherwise a built-in coarse EGM96 approximation (10-degree grid, ~1-2 m
-    accuracy) is used and a warning is emitted once.
-
-Geoid heights only matter for the optional ``out_geoid`` / geoid-mode
-exogenous DEM paths; the default pipeline output (UTM + ellipsoid heights)
-never calls into this module.
+    accuracy) is used.  Callers whose OUTPUT heights depend on the geoid
+    (``out_geoid`` / compound-CRS vertical datums) pass ``strict=True``,
+    which turns the coarse fallback into a hard error unless
+    ``S2P_TPU_ALLOW_COARSE_GEOID=1`` explicitly overrides; search-range
+    estimation keeps the warn-only behavior (a ~2 m bias there only
+    widens a disparity interval).
 """
 
 from __future__ import annotations
@@ -22,7 +25,15 @@ import warnings
 import numpy as np
 
 _grid = None
+_grid_loaded = False
 _warned = False
+
+# standard locations of the PROJ EGM96 15-minute grid
+_DEFAULT_GRID_PATHS = (
+    '/usr/share/proj/egm96_15.gtx',
+    '/usr/share/proj/us_nga_egm96_15.gtx',
+    '/usr/local/share/proj/egm96_15.gtx',
+)
 
 # Very coarse EGM96 undulation (meters above the WGS84 ellipsoid) sampled on
 # a 10-degree grid: lat from 90 to -90 (19 rows), lon from 0 to 350 (36 cols).
@@ -53,10 +64,15 @@ _COARSE = np.array([
 
 
 def _load_grid():
-    global _grid
-    path = os.environ.get('S2P_TPU_GEOID_GRID')
-    if path and os.path.exists(path):
-        _grid = _read_pgm_or_gtx(path)
+    global _grid, _grid_loaded
+    if _grid_loaded:
+        return _grid
+    paths = [os.environ.get('S2P_TPU_GEOID_GRID')] + list(_DEFAULT_GRID_PATHS)
+    for path in paths:
+        if path and os.path.exists(path):
+            _grid = _read_pgm_or_gtx(path)
+            break
+    _grid_loaded = True
     return _grid
 
 
@@ -64,8 +80,11 @@ def _read_pgm_or_gtx(path):
     """Load a geoid grid: PROJ .pgm (world PGM with offset/scale comments)
     or NOAA .gtx format.  Returns (lats_desc, lons, values)."""
     if path.endswith('.gtx'):
+        # GTX header: 4 big-endian float64 (lat0, lon0, dlat, dlon) at
+        # bytes 0-32, then 2 big-endian int32 (nrows, ncols) at bytes 32-40;
+        # row 0 is the SOUTH edge (lat ascending)
         with open(path, 'rb') as f:
-            hdr = np.frombuffer(f.read(40), dtype='>f8', count=4)
+            hdr = np.frombuffer(f.read(32), dtype='>f8', count=4)
             lat0, lon0, dlat, dlon = hdr
             nrows, ncols = np.frombuffer(f.read(8), dtype='>i4', count=2)
             vals = np.frombuffer(f.read(nrows * ncols * 4), dtype='>f4')
@@ -102,8 +121,14 @@ def _read_pgm_or_gtx(path):
     return lats, lons, vals
 
 
-def geoid_above_ellipsoid(lat, lon):
-    """EGM96 undulation N such that h_ellipsoid = h_geoid + N."""
+def geoid_above_ellipsoid(lat, lon, strict=False):
+    """EGM96 undulation N such that h_ellipsoid = h_geoid + N.
+
+    Args:
+        strict: when True (output heights depend on the result), the coarse
+            built-in fallback is a hard error instead of a warning, unless
+            ``S2P_TPU_ALLOW_COARSE_GEOID=1``.
+    """
     global _warned
     lat = np.asarray(lat, dtype=np.float64)
     lon = np.mod(np.asarray(lon, dtype=np.float64), 360.0)
@@ -112,6 +137,13 @@ def geoid_above_ellipsoid(lat, lon):
     if grid is not None:
         lats, lons, vals = grid
     else:
+        if strict and os.environ.get('S2P_TPU_ALLOW_COARSE_GEOID') != '1':
+            raise RuntimeError(
+                'geoid-referenced output heights requested but no EGM96 grid '
+                'is available (searched S2P_TPU_GEOID_GRID and {}); the '
+                'built-in fallback has ~2 m error. Install a PROJ '
+                'egm96_15.gtx grid or set S2P_TPU_ALLOW_COARSE_GEOID=1 to '
+                'accept the bias.'.format(', '.join(_DEFAULT_GRID_PATHS)))
         if not _warned:
             warnings.warn('no EGM96 grid configured (set S2P_TPU_GEOID_GRID); '
                           'using coarse built-in approximation (~2 m accuracy)')

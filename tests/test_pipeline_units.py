@@ -17,7 +17,7 @@ from s2p_tpu.ops import rasterize
 from conftest import data_path
 
 
-@pytest.mark.parametrize('out_crs', [None, 'epsg:32740'])
+@pytest.mark.parametrize('out_crs', [None, 'epsg:32740', 'epsg:32740+5773'])
 def test_disparity_to_ply_fixture(tmp_path, out_crs):
     """disparity_to_ply on the reference's pre-baked tile fixture."""
     tile_dir = str(tmp_path / 'tile_dir')
