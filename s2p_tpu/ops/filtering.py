@@ -52,9 +52,18 @@ def count_3d_neighbors(xyz, r, p):
     Parity: reference disp_to_h.c:152-175 (the center point counts itself,
     like the C loop does).  NaN points yield count 0.
     """
-    xyz32 = np.nan_to_num(np.asarray(xyz, dtype=np.float32), nan=np.inf)
+    # Recenter in float64 BEFORE the float32 cast: raw UTM northings
+    # (~7.7e6 m) quantize to 0.5 m steps in f32, poisoning 3D distances
+    # against r of a few meters (the C code differences doubles,
+    # disp_to_h.c:143-149).  Centered offsets stay sub-mm accurate in f32.
+    xyz64 = np.asarray(xyz, dtype=np.float64)
+    finite = np.isfinite(xyz64).all(axis=-1)
+    center = (np.nanmean(np.where(finite[..., None], xyz64, np.nan),
+                         axis=(0, 1)) if finite.any() else np.zeros(3))
+    xyz32 = np.nan_to_num((xyz64 - center).astype(np.float32), nan=np.inf)
+    xyz32[~finite] = np.inf
     out = np.array(_count_jit(float(r), int(p))(xyz32))
-    out[~np.isfinite(xyz).all(axis=-1)] = 0
+    out[~finite] = 0
     return out
 
 
