@@ -14,13 +14,37 @@ from __future__ import annotations
 import concurrent.futures as cf
 import io
 import os
+import queue
 import sys
 import threading
+import time
 import traceback
 
 
 class TimeoutError_(Exception):
     pass
+
+
+# cancellation event of the innermost active launch_calls (cooperative
+# cancellation: long-running stage functions poll via checkpoint())
+_cancel_stack: list = []
+
+
+def cancelled() -> bool:
+    """True when the active launch has been aborted (timeout/error)."""
+    return bool(_cancel_stack) and _cancel_stack[-1].is_set()
+
+
+def checkpoint():
+    """Raise inside a worker if the launch was aborted.
+
+    The reference kills hung child PROCESSES (common.py:70-94); device work
+    here shares one process with the driver, so stage functions instead call
+    this between device dispatches / pyramid levels to stop promptly once a
+    sibling tile times out.
+    """
+    if cancelled():
+        raise TimeoutError_('stage aborted (sibling tile timed out)')
 
 
 class _StreamRouter(io.TextIOBase):
@@ -116,30 +140,76 @@ def launch_calls(fun, list_of_args, nb_workers=None, *extra_args,
             return out
         return fun(*args)
 
-    results = []
+    # Daemon-thread pool with per-call EXECUTION deadlines: each call's
+    # budget starts when it begins running (not when the driver happens to
+    # wait on it), so a slow early tile cannot eat later tiles' budgets;
+    # on timeout the cancellation event is set (workers poll checkpoint())
+    # and the daemon threads can never block interpreter exit.  This is the
+    # in-process analogue of the reference's child-process kill
+    # (parallel.py:100-102 + common.py:70-94, verified by common_test.py).
+    work: queue.Queue = queue.Queue()
+    for i, item in enumerate(list_of_args):
+        work.put((i, item))
+    results = [None] * n
+    events: queue.Queue = queue.Queue()   # (idx, 'ok'|'err', payload)
+    starts = {}
+    lock = threading.Lock()
+    cancel = threading.Event()
+
+    def worker():
+        while not cancel.is_set():
+            try:
+                i, item = work.get_nowait()
+            except queue.Empty:
+                return
+            with lock:
+                starts[i] = time.monotonic()
+            try:
+                r = call(item)
+                with lock:
+                    starts.pop(i, None)
+                events.put((i, 'ok', r))
+            except BaseException as e:  # noqa: BLE001 - re-raised on driver
+                with lock:
+                    starts.pop(i, None)
+                events.put((i, 'err', e))
+
     saved = sys.stdout, sys.stderr
     sys.stdout, sys.stderr = router_out, router_err
+    _cancel_stack.append(cancel)
+    threads = [threading.Thread(target=worker, daemon=True)
+               for _ in range(min(nb_workers, n))]
     try:
-        with cf.ThreadPoolExecutor(nb_workers) as pool:
-            futs = [pool.submit(call, item) for item in list_of_args]
+        for t in threads:
+            t.start()
+        while done_count[0] < n:
             try:
-                for fut in futs:
-                    results.append(fut.result(timeout=timeout))
-                    done_count[0] += 1
-                    status = 'done {} / {} tiles'.format(done_count[0], n)
-                    end = '\n' if done_count[0] == n else '\r'
-                    router_out.fallback.write(status + end)
-                    router_out.fallback.flush()
-            except cf.TimeoutError:
-                for f in futs:
-                    f.cancel()
-                raise TimeoutError_(
-                    f'tile call did not complete within {timeout} s')
-            except KeyboardInterrupt:
-                for f in futs:
-                    f.cancel()
-                raise
+                i, kind, payload = events.get(timeout=0.25)
+            except queue.Empty:
+                now = time.monotonic()
+                with lock:
+                    overdue = [i for i, t0 in starts.items()
+                               if timeout is not None and now - t0 > timeout]
+                if overdue:
+                    cancel.set()
+                    raise TimeoutError_(
+                        f'tile call {overdue[0]} did not complete within '
+                        f'{timeout} s')
+                continue
+            if kind == 'err':
+                cancel.set()
+                raise payload
+            results[i] = payload
+            done_count[0] += 1
+            status = 'done {} / {} tiles'.format(done_count[0], n)
+            end = '\n' if done_count[0] == n else '\r'
+            router_out.fallback.write(status + end)
+            router_out.fallback.flush()
+    except KeyboardInterrupt:
+        cancel.set()
+        raise
     finally:
+        _cancel_stack.pop()
         sys.stdout, sys.stderr = saved
     return results
 

@@ -76,3 +76,56 @@ def test_worker_exception_logged_in_tile_log(tmp_path):
     with pytest.raises(RuntimeError, match='tile exploded'):
         runner.launch_calls(boom, [{'dir': str(d)}], 1, timeout=30)
     assert 'tile exploded' in (d / 'stdout.log').read_text()
+
+
+def test_timeout_is_per_call_not_cumulative():
+    """A slow early tile must not eat later tiles' budgets: each call's
+    deadline runs from ITS OWN start (reference kills hung children per
+    call, parallel.py:100-102; here per-execution deadlines)."""
+    def work(x):
+        time.sleep(0.3)
+        return x
+
+    t0 = time.monotonic()
+    # 6 sequential-ish calls on 2 workers, each well under the 1s per-call
+    # budget, ~0.9s total > any single budget if it were cumulative
+    out = runner.launch_calls(work, list(range(6)), 2, tilewise=False,
+                              timeout=1.0)
+    assert out == list(range(6))
+    assert time.monotonic() - t0 < 5
+
+
+def test_hung_tile_raises_quickly_and_cancels_siblings():
+    """Analogue of the reference kill test (common_test.py:23-37): a hung
+    tile raises TimeoutError_ promptly, sets the cancellation event that
+    cooperative checkpoints observe, and its daemon worker thread cannot
+    block interpreter exit."""
+    started = []
+
+    def hang(x):
+        started.append(x)
+        for _ in range(200):
+            time.sleep(0.05)
+            if runner.cancelled():
+                return 'cancelled'
+        return 'finished'
+
+    t0 = time.monotonic()
+    with pytest.raises(runner.TimeoutError_):
+        runner.launch_calls(hang, [1, 2], 2, tilewise=False, timeout=0.4)
+    assert time.monotonic() - t0 < 3
+    # the launch's cancel event is popped after the raise; workers saw it
+    assert not runner.cancelled()
+
+
+def test_checkpoint_raises_when_cancelled():
+    class _Ev:
+        def is_set(self):
+            return True
+
+    runner._cancel_stack.append(_Ev())
+    try:
+        with pytest.raises(runner.TimeoutError_):
+            runner.checkpoint()
+    finally:
+        runner._cancel_stack.pop()
