@@ -1,0 +1,105 @@
+"""End-to-end golden DSM tests (reference end2end_test.py:21-115).
+
+Runs the full pipeline.main on the reference test scenes and compares the
+final DSM against the committed reference goldens with the reference's
+tolerances (pair: |mean| <= 0.025 m, p99 <= 1 m; triplet: 0.05 m / 2 m;
+valid-pixel count rtol 1% atol 100), plus the zero-tolerance
+tilewise-vs-monolithic seamlessness check and the mosaic-tool check.
+
+These are the slowest tests in the suite (a full 3x3-tile scene per run on
+the CPU mesh); they run last by filename convention and can be deselected
+with `-m "not e2e"`.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from s2p_tpu import pipeline
+from s2p_tpu.geo import geotiff
+from s2p_tpu.ops import rasterize
+from s2p_tpu.utils import mosaic
+
+from conftest import data_path
+
+
+def compare_dsm(computed, expected, absmean_tol, percentile_tol):
+    """Reference end2end_test.py:21-55 comparison contract."""
+    np.testing.assert_equal(computed.shape, expected.shape, verbose=True)
+    n_computed = np.count_nonzero(np.isfinite(computed))
+    n_expected = np.count_nonzero(np.isfinite(expected))
+    np.testing.assert_allclose(n_computed, n_expected, rtol=.01, atol=100,
+                               verbose=True)
+    diff = computed - expected
+    diff = diff[np.isfinite(diff)]
+    meandiff = np.mean(diff)
+    print('mean-difference:', meandiff, '(abs. tolerance=%s)' % absmean_tol)
+    assert np.abs(meandiff) <= absmean_tol
+    percentile = np.nanpercentile(np.abs(diff), 99)
+    print('99th percentile abs difference', percentile,
+          '(tolerance=%s)' % percentile_tol)
+    assert percentile <= percentile_tol
+
+
+def _run(config_file, out_dir):
+    cfg = pipeline.read_config_file(config_file)
+    cfg['out_dir'] = str(out_dir)
+    pipeline.main(cfg)
+    return cfg
+
+
+@pytest.fixture(scope='session')
+def pair_run(tmp_path_factory):
+    out = tmp_path_factory.mktemp('e2e_pair')
+    return _run(data_path('input_pair/config.json'), out), out
+
+
+@pytest.fixture(scope='session')
+def triplet_run(tmp_path_factory):
+    out = tmp_path_factory.mktemp('e2e_triplet')
+    return _run(data_path('input_triplet/config.json'), out), out
+
+
+@pytest.mark.e2e
+def test_end2end_pair(pair_run):
+    _, out = pair_run
+    computed = geotiff.read_with_nans(os.path.join(out, 'dsm.tif'))
+    expected = geotiff.read_with_nans(data_path('expected_output/pair/dsm.tif'))
+    compare_dsm(computed, expected, 0.025, 1)
+
+
+@pytest.mark.e2e
+def test_end2end_triplet(triplet_run):
+    _, out = triplet_run
+    computed = geotiff.read_with_nans(os.path.join(out, 'dsm.tif'))
+    expected = geotiff.read_with_nans(data_path('expected_output/triplet/dsm.tif'))
+    compare_dsm(computed, expected, 0.05, 2)
+
+
+@pytest.mark.e2e
+def test_mosaic(triplet_run, tmp_path):
+    """Mosaic tool reproduces the triplet height map (end2end_test.py:85-97)."""
+    _, out = triplet_run
+    outfile = os.path.join(tmp_path, 'height_map.tif')
+    mosaic.main(os.path.join(out, 'tiles.txt'), outfile,
+                'pair_1/height_map.tif')
+    computed = geotiff.read_with_nans(outfile)
+    expected = geotiff.read_with_nans(
+        data_path('expected_output/triplet/height_map.tif'))
+    compare_dsm(computed, expected, absmean_tol=0.05, percentile_tol=2)
+
+
+@pytest.mark.e2e
+def test_distributed_plyflatten(triplet_run):
+    """Tilewise DSM == monolithic rasterization, tolerance 0
+    (end2end_test.py:100-115)."""
+    cfg, out = triplet_run
+    computed = geotiff.read_with_nans(os.path.join(out, 'dsm.tif'))
+    clouds_list = glob.glob(os.path.join(out, 'tiles', '*', '*', 'cloud.ply'))
+    assert clouds_list
+    raster, _ = rasterize.plyflatten_from_plyfiles_list(
+        clouds_list, resolution=cfg['dsm_resolution'], roi=None)
+    expected = raster[:, :, 0]
+    compare_dsm(computed, expected, 0, 0)
