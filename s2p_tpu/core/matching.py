@@ -57,11 +57,12 @@ def _sgm_params_from_cfg(cfg: Config, multi: bool) -> SgmParams:
         subpix='vfit',
         median=True,
         median_first=True,
-        lr_tau=1.5 * cfg.mgm_leftright_threshold,
+        median_fill=True,
+        lr_tau=cfg.mgm_leftright_threshold,
         lr_enabled=cfg.mgm_leftright_control != 0,
         speckle_min_area=cfg.stereo_speckle_filter if multi else 0,
         mgm=False,
-        p2_edge_scale=0.7,
+        p2_edge_scale=0.5,
         lr_mode='volume',
     )
 
@@ -108,22 +109,8 @@ def compute_disparity_map(cfg: Config, im1, im2, disp_min=None, disp_max=None,
     im2 = np.asarray(im2, dtype=np.float32)
 
     # clamp the disparity range to the image width (block_matching.py:61-68)
-    if disp_min is not None and disp_max is not None:
-        width = im1.shape[1]
-        if disp_max - disp_min > width:
-            center = 0.5 * (disp_min + disp_max)
-            disp_min = int(center - 0.5 * width)
-            disp_max = int(center + 0.5 * width)
-    if disp_min is not None:
-        disp_min = int(np.floor(disp_min))
-    if disp_max is not None:
-        disp_max = int(np.ceil(disp_max))
-
-    max_disp_range = max_disp_range if max_disp_range is not None else cfg.max_disp_range
-    if max_disp_range is not None and disp_max - disp_min > max_disp_range:
-        raise MaxDisparityRangeError(
-            'Disparity range [{}, {}] greater than {}'.format(
-                disp_min, disp_max, max_disp_range))
+    disp_min, disp_max = clamp_disparity_range(cfg, im1.shape[1], disp_min,
+                                               disp_max, max_disp_range)
 
     if algo == 'mgm':
         params = _sgm_params_from_cfg(cfg, multi=False)
@@ -192,15 +179,42 @@ def compute_disparity_map(cfg: Config, im1, im2, disp_min=None, disp_max=None,
     else:
         raise NotImplementedError(f'unknown matching algorithm {algo!r}')
 
-    # rejection-mask contract: matched AND finite in both input images
-    # (block_matching.py:18-32 plambda/backflow pipeline, done in-process)
-    mask = valid & np.isfinite(im1)
+    return finalize_disparity(disp, valid, im1, im2) + (conf,)
+
+
+def finalize_disparity(disp, valid, im1, im2):
+    """Rejection-mask contract: matched AND finite in both input images
+    (block_matching.py:18-32 plambda/backflow pipeline, done in-process)."""
+    mask = valid.astype(bool) & np.isfinite(im1)
     xs = np.arange(im1.shape[1])[None, :] + np.nan_to_num(disp)
     xs_i = np.clip(np.round(xs).astype(np.int64), 0, im2.shape[1] - 1)
     im2_pull = np.take_along_axis(im2, xs_i, axis=1)
     mask &= np.isfinite(im2_pull)
     disp = np.where(mask, disp, np.nan)
-    return disp.astype(np.float32), mask.astype(np.uint8), conf
+    return disp.astype(np.float32), mask.astype(np.uint8)
+
+
+def clamp_disparity_range(cfg: Config, width, disp_min, disp_max,
+                          max_disp_range=None):
+    """Range clamping/rounding + MaxDisparityRangeError guard
+    (block_matching.py:61-84), shared by the serial and batched stage-4
+    drivers."""
+    if disp_min is not None and disp_max is not None:
+        if disp_max - disp_min > width:
+            center = 0.5 * (disp_min + disp_max)
+            disp_min = int(center - 0.5 * width)
+            disp_max = int(center + 0.5 * width)
+    if disp_min is not None:
+        disp_min = int(np.floor(disp_min))
+    if disp_max is not None:
+        disp_max = int(np.ceil(disp_max))
+    max_disp_range = (max_disp_range if max_disp_range is not None
+                      else cfg.max_disp_range)
+    if max_disp_range is not None and disp_max - disp_min > max_disp_range:
+        raise MaxDisparityRangeError(
+            'Disparity range [{}, {}] greater than {}'.format(
+                disp_min, disp_max, max_disp_range))
+    return disp_min, disp_max
 
 
 def _match_multiscale(im1, im2, disp_min, disp_max, params: SgmParams,

@@ -54,6 +54,12 @@ def _triangulate_grid(*args):
     return _triangulate_grid_jit()(*args)
 
 
+@functools.lru_cache(maxsize=1)
+def _triangulate_grid_batch_jit():
+    import jax
+    return jax.jit(jax.vmap(_triangulate_grid_impl))
+
+
 def _triangulate_grid_impl(disp_x, disp_y, valid, h1_inv, h2_inv,
                            rpc1: RpcParams, rpc2: RpcParams):
     """Jitted core: rectified disparities -> (lon, lat, alt, err).
@@ -117,6 +123,19 @@ def disp_to_xyz(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx, mask_orig,
     """
     import jax.numpy as jnp
 
+    dev, meta = _prep_triangulation(rpc1, rpc2, H1, H2, disp, mask_rect,
+                                    img_bbx, A, disp_y)
+    outs = _triangulate_grid(
+        jnp.asarray(dev['dx']), jnp.asarray(dev['dy']),
+        jnp.asarray(dev['valid']), jnp.asarray(dev['h1_inv']),
+        jnp.asarray(dev['h2_inv']), _to_jax(dev['rpc1']), _to_jax(dev['rpc2']))
+    return _post_triangulation(outs, meta, mask_orig, out_crs)
+
+
+def _prep_triangulation(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx, A=None,
+                        disp_y=None, pad_multiple=64):
+    """Host prep of one tile: recenter + pad; returns (device inputs dict
+    of f32 numpy arrays, meta dict for :func:`_post_triangulation`)."""
     disp = np.asarray(disp, dtype=np.float32)
     h, w = disp.shape
     if A is not None:  # fold the pointing correction into H2 (reference :119)
@@ -131,8 +150,6 @@ def disp_to_xyz(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx, mask_orig,
     lon0, lat0 = rpc1.lon_offset, rpc1.lat_offset
     rpc1_rc = _recenter_params(rpc1.params(), col_min, row_min, lon0, lat0)
     rpc2_rc = _recenter_params(rpc2.params(), col_min, row_min, lon0, lat0)
-    h1_inv_rc = (T @ h1_inv).astype(np.float32)
-    h2_inv_rc = (T @ h2_inv).astype(np.float32)
 
     dx = disp
     dy = np.zeros_like(disp) if disp_y is None else np.asarray(disp_y, np.float32)
@@ -140,8 +157,8 @@ def disp_to_xyz(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx, mask_orig,
 
     # bucket the grid shape (multiples of 64) so tiles share compiled
     # programs; the pad region is masked invalid and cropped off below
-    Hp = -(-h // 64) * 64
-    Wp = -(-w // 64) * 64
+    Hp = -(-h // pad_multiple) * pad_multiple
+    Wp = -(-w // pad_multiple) * pad_multiple
 
     def padf(a, fill=0.0):
         out = np.full((Hp, Wp), fill, dtype=np.float32)
@@ -151,36 +168,37 @@ def disp_to_xyz(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx, mask_orig,
     vpad = np.zeros((Hp, Wp), dtype=bool)
     vpad[:h, :w] = base_valid
 
-    lon, lat, alt, err, px, py = _triangulate_grid(
-        jnp.asarray(padf(np.nan_to_num(dx))), jnp.asarray(padf(np.nan_to_num(dy))),
-        jnp.asarray(vpad), jnp.asarray(h1_inv_rc), jnp.asarray(h2_inv_rc),
-        _to_jax(rpc1_rc), _to_jax(rpc2_rc))
-    lon = lon[:h, :w]
-    lat = lat[:h, :w]
-    alt = alt[:h, :w]
-    err = err[:h, :w]
-    px = px[:h, :w]
-    py = py[:h, :w]
+    dev = dict(dx=padf(np.nan_to_num(dx)), dy=padf(np.nan_to_num(dy)),
+               valid=vpad, h1_inv=(T @ h1_inv).astype(np.float32),
+               h2_inv=(T @ h2_inv).astype(np.float32),
+               rpc1=rpc1_rc.astype(np.float32), rpc2=rpc2_rc.astype(np.float32))
+    meta = dict(h=h, w=w, lon0=lon0, lat0=lat0, base_valid=base_valid,
+                col_span=col_max - col_min, row_span=row_max - row_min)
+    return dev, meta
 
-    lon = np.array(lon, dtype=np.float64) + lon0
-    lat = np.array(lat, dtype=np.float64) + lat0
-    alt = np.array(alt, dtype=np.float64)
-    err = np.array(err, dtype=np.float32)
-    px = np.asarray(px)
-    py = np.asarray(py)
 
-    # original-image-domain tests (disp_to_h.c:108-123), done host-side on the
-    # already-computed grids: bounding box + original mask lookup
+def _post_triangulation(outs, meta, mask_orig, out_crs):
+    """Host post of one tile: crop, denormalize, original-domain tests
+    (disp_to_h.c:108-123) and the f64 CRS conversion."""
+    lon, lat, alt, err, px, py = outs
+    h, w = meta['h'], meta['w']
+    lon = np.array(lon, dtype=np.float64)[:h, :w] + meta['lon0']
+    lat = np.array(lat, dtype=np.float64)[:h, :w] + meta['lat0']
+    alt = np.array(alt, dtype=np.float64)[:h, :w]
+    err = np.array(err, dtype=np.float32)[:h, :w]
+    px = np.asarray(px)[:h, :w]
+    py = np.asarray(py)[:h, :w]
+
     rpx = np.round(px)
     rpy = np.round(py)
-    inside = (rpx >= 0) & (rpx <= col_max - col_min) \
-        & (rpy >= 0) & (rpy <= row_max - row_min)
+    inside = (rpx >= 0) & (rpx <= meta['col_span']) \
+        & (rpy >= 0) & (rpy <= meta['row_span'])
     mask_orig = np.asarray(mask_orig)
     hh, ww = mask_orig.shape
     ix = np.clip(rpx.astype(np.int64), 0, ww - 1)
     iy = np.clip(rpy.astype(np.int64), 0, hh - 1)
     mask_ok = np.where((rpx < ww) & (rpy < hh), mask_orig[iy, ix] != 0, True)
-    valid = base_valid & inside & mask_ok
+    valid = meta['base_valid'] & inside & mask_ok
 
     lon[~valid] = np.nan
     lat[~valid] = np.nan
@@ -195,6 +213,64 @@ def disp_to_xyz(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx, mask_orig,
     else:
         xyz = np.stack([lon, lat, alt], axis=-1)
     return xyz, err
+
+
+def disp_to_xyz_batch(jobs, out_crs=None):
+    """Batched tile triangulation: ONE vmapped device program per shape
+    bucket, the tile axis sharded over the device mesh when several devices
+    are attached (the mesh execution engine's stage-5 kernel).
+
+    Args:
+        jobs: list of dicts with keys (rpc1, rpc2, H1, H2, disp, mask_rect,
+            img_bbx, mask_orig) and optional (A, disp_y).
+
+    Returns:
+        list of (xyz, err) in input order.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    preps = [
+        _prep_triangulation(j['rpc1'], j['rpc2'], j['H1'], j['H2'],
+                            j['disp'], j['mask_rect'], j['img_bbx'],
+                            j.get('A'), j.get('disp_y'))
+        for j in jobs
+    ]
+    results = [None] * len(jobs)
+    buckets = {}
+    for idx, (dev, meta) in enumerate(preps):
+        buckets.setdefault(dev['dx'].shape, []).append(idx)
+
+    n_dev = len(jax.devices())
+    for shape, idxs in buckets.items():
+        n = len(idxs)
+        n_pad = -(-n // n_dev) * n_dev
+        pad_ids = idxs + [idxs[-1]] * (n_pad - n)
+
+        def stack(key):
+            arrs = [preps[i][0][key] for i in pad_ids]
+            if key in ('rpc1', 'rpc2'):
+                return RpcParams(*[jnp.stack([np.asarray(getattr(a, f))
+                                              for a in arrs])
+                                   for f in RpcParams._fields])
+            return jnp.stack(arrs)
+
+        args = (stack('dx'), stack('dy'), stack('valid'),
+                stack('h1_inv'), stack('h2_inv'), stack('rpc1'),
+                stack('rpc2'))
+        if n_dev > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import TileMesh
+            mesh = TileMesh()
+            sh = NamedSharding(mesh.mesh, P(mesh.axis))
+            args = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, sh), args)
+        outs = _triangulate_grid_batch_jit()(*args)
+        for k, idx in enumerate(idxs):
+            tile_outs = tuple(np.asarray(o[k]) for o in outs)
+            results[idx] = _post_triangulation(
+                tile_outs, preps[idx][1], jobs[idx]['mask_orig'], out_crs)
+    return results
 
 
 def _to_jax(params: RpcParams):

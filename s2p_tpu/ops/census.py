@@ -66,9 +66,18 @@ def census_cost_volume(im1, im2, disp_min: int, disp_max: int, win: int = 5,
         (cost (h, w, D) float32, valid1 (h, w) bool) with D = disp_max -
         disp_min + 1.
     """
-    D = disp_max - disp_min + 1
+    return census_cost_volume_dyn(im1, im2, disp_min,
+                                  disp_max - disp_min + 1, win, invalid_cost)
+
+
+def census_cost_volume_dyn(im1, im2, disp_min, D: int, win: int = 5,
+                           invalid_cost: float = None):
+    """Like :func:`census_cost_volume` but with a TRACED ``disp_min`` and a
+    static candidate count ``D`` -- the form batched (vmapped) matching uses
+    so tiles with different local disparity ranges share one program."""
     if invalid_cost is None:
         invalid_cost = float(win * win - 1)
+    disp_min = jnp.asarray(disp_min, jnp.int32)
 
     sig1, val1 = census_transform(im1, win)
     sig2, val2 = census_transform(im2, win)
@@ -76,7 +85,7 @@ def census_cost_volume(im1, im2, disp_min: int, disp_max: int, win: int = 5,
     w2 = sig2.shape[1]
 
     # gather shifted secondary signatures: x2 = x + disp_min + k
-    xs = jnp.arange(w)[:, None] + jnp.arange(disp_min, disp_max + 1)[None, :]
+    xs = jnp.arange(w)[:, None] + disp_min + jnp.arange(D)[None, :]
     inb = (xs >= 0) & (xs < w2)
     xs_c = jnp.clip(xs, 0, w2 - 1)
 

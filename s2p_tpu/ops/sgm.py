@@ -67,6 +67,8 @@ class SgmParams:
     #                             disparities instead of subpixel maps
     median_first: bool = False  # apply the median filter BEFORE the LR
     #                             test (both maps smoothed, then compared)
+    median_fill: bool = False   # the final median may fill (resurrect)
+    #                             rejected pixels from valid neighbors
     overcount_fix: bool = True  # MGM energy overcount fix
     #                             (TSGM_FIX_OVERCOUNT, mgm engine only)
     backend: str = 'auto'       # 'auto' (pallas on TPU, lax elsewhere),
@@ -224,17 +226,18 @@ def _right_disparity(S, disp_min, subpix_mode='vfit'):
     S_R[y, x2, k] = S_L[y, x2 - (disp_min + k), k]; returns the (negated)
     subpixel right disparity dR(x2) = -(disp_min + argmin_k S_R + offset),
     so the left-right test compares two subpixel maps like the reference's
-    TESTLRRL does.
+    TESTLRRL does.  ``disp_min`` may be a traced scalar.
     """
     h, w, D = S.shape
-    xs = jnp.arange(w)[:, None] - (disp_min + jnp.arange(D))[None, :]
+    dm = jnp.asarray(disp_min, jnp.int32)
+    xs = jnp.arange(w)[:, None] - (dm + jnp.arange(D))[None, :]
     inb = (xs >= 0) & (xs < w)
     xs_c = jnp.clip(xs, 0, w - 1)
     S_R = S[:, xs_c, jnp.arange(D)[None, :]]
     S_R = jnp.where(inb[None], S_R, jnp.inf)
     kR = jnp.argmin(S_R, axis=-1)
     off = _subpixel(S_R, kR, subpix_mode)
-    return -(disp_min + kR.astype(S.dtype) + off)
+    return -(dm.astype(S.dtype) + kR.astype(S.dtype) + off)
 
 
 def _edge_p2_map(im1, p2, scale):
@@ -281,24 +284,33 @@ def _p2_map(im1, params, p2_scale=None):
     return p2_vol
 
 
-def _aggregate(im1, im2, disp_min, disp_max, params, p2_scale=None):
+def _aggregate(im1, im2, disp_min, D, params, p2_scale=None,
+               allow_pallas=True):
     """Cost volume + multi-direction aggregation: returns
-    (S, valid, votes)."""
+    (S, valid, votes).  ``disp_min`` may be a traced scalar when
+    ``allow_pallas`` is False (the vmapped batch path); ``D`` is static."""
     p2_vol = _p2_map(im1, params, p2_scale)
+    static_range = isinstance(disp_min, (int, np.integer))
 
-    if _use_pallas(im1, im2, disp_min, disp_max, params):
+    if allow_pallas and static_range and _use_pallas(
+            im1, im2, disp_min, disp_min + D - 1, params):
         from .sgm_pallas import aggregate as aggregate_pallas
-        return aggregate_pallas(im1, im2, disp_min, disp_max, params,
+        return aggregate_pallas(im1, im2, disp_min, disp_min + D - 1, params,
                                 p2map=p2_vol,
                                 interpret=(params.backend == 'interpret'))
 
     if params.cost == 'bt':
+        if not static_range:
+            raise NotImplementedError(
+                'Birchfield-Tomasi cost needs a static disparity range')
         from .census import birchfield_tomasi_cost_volume
         cost, val1 = birchfield_tomasi_cost_volume(im1, im2, disp_min,
-                                                   disp_max, params.census_win)
+                                                   disp_min + D - 1,
+                                                   params.census_win)
     else:
-        cost, val1 = census_cost_volume(im1, im2, disp_min, disp_max,
-                                        params.census_win)
+        from .census import census_cost_volume_dyn
+        cost, val1 = census_cost_volume_dyn(im1, im2, disp_min, D,
+                                            params.census_win)
     p1 = jnp.asarray(params.p1, cost.dtype)
     p2 = jnp.asarray(params.p2, cost.dtype)
 
@@ -325,21 +337,16 @@ def _aggregate(im1, im2, disp_min, disp_max, params, p2_scale=None):
     return S, val1, votes
 
 
-@functools.partial(jax.jit, static_argnames=('disp_min', 'disp_max', 'params'))
-def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams,
-              p2_scale=None, p2_scale_r=None):
-    """Dense disparity of a rectified pair by census + SGM aggregation.
+def _match_core(im1, im2, disp_min, D: int, params: SgmParams,
+                p2_scale=None, p2_scale_r=None, allow_pallas=True):
+    """Shared matcher body.  ``disp_min`` is an int (static entry, pallas
+    eligible) or a traced int32 scalar (batch entry); ``D`` is static."""
+    static_range = isinstance(disp_min, (int, np.integer))
+    disp_max = disp_min + D - 1 if static_range else None
+    dmf = jnp.asarray(disp_min, jnp.float32)
 
-    Args:
-        im1, im2: rectified reference/secondary images (NaN = invalid).
-        disp_min, disp_max: inclusive integer disparity bounds (static).
-        params: aggregation parameters.
-
-    Returns:
-        dict with 'disp' (float32, NaN invalid), 'valid' (bool), and
-        'confidence' (float32 in [0, 1], direction-consensus score).
-    """
-    if _use_pallas(im1, im2, disp_min, disp_max, params):
+    if allow_pallas and static_range and _use_pallas(im1, im2, disp_min,
+                                                     disp_max, params):
         from .sgm_pallas import match_pallas
         p2map = _p2_map(im1, params, p2_scale)
         r = match_pallas(im1, im2, disp_min, disp_max, params, p2map,
@@ -349,11 +356,11 @@ def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams,
         S = None
         dR_vol = r['dR']
     else:
-        S, val1, votes = _aggregate(im1, im2, disp_min, disp_max, params,
-                                    p2_scale)
+        S, val1, votes = _aggregate(im1, im2, disp_min, D, params,
+                                    p2_scale, allow_pallas)
         d_int = jnp.argmin(S, axis=-1)
         off = _subpixel(S, d_int, params.subpix)
-        disp = disp_min + d_int.astype(jnp.float32) + off
+        disp = dmf + d_int.astype(jnp.float32) + off
         dR_vol = None
 
     dirs = _DIRS_8[:max(2, min(params.nb_dir, 8))]
@@ -377,20 +384,24 @@ def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams,
         if params.lr_mode == 'full':
             # true RL pass: aggregate with the roles swapped (the reference
             # TESTLRRL contract) over the mirrored disparity range
-            # the swapped pass carries the SECONDARY image's weight map
-            # (the mgm -wr contract, block_matching.py:191-245)
-            if _use_pallas(im2, im1, -disp_max, -disp_min, params):
+            # [-disp_max, -disp_min]; the swapped pass carries the SECONDARY
+            # image's weight map (the mgm -wr contract,
+            # block_matching.py:191-245)
+            dmin_r = -(disp_min + D - 1)
+            if allow_pallas and static_range and _use_pallas(
+                    im2, im1, dmin_r, -disp_min, params):
                 from .sgm_pallas import match_pallas
                 p2r = _p2_map(im2, params, p2_scale_r)
-                dR = match_pallas(im2, im1, -disp_max, -disp_min, params,
+                dR = match_pallas(im2, im1, dmin_r, -disp_min, params,
                                   p2r,
                                   interpret=(params.backend == 'interpret')
                                   )['disp_raw']
             else:
-                S_R, _, _ = _aggregate(im2, im1, -disp_max, -disp_min,
-                                       params, p2_scale_r)
+                S_R, _, _ = _aggregate(im2, im1, dmin_r, D,
+                                       params, p2_scale_r, allow_pallas)
                 kR = jnp.argmin(S_R, axis=-1)
-                dR = (-disp_max + kR.astype(S_R.dtype)
+                dR = (jnp.asarray(dmin_r, S_R.dtype)
+                      + kR.astype(S_R.dtype)
                       + _subpixel(S_R, kR, params.subpix))
         elif dR_vol is not None:
             dR = dR_vol
@@ -410,16 +421,56 @@ def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams,
 
     disp = jnp.where(valid, disp, jnp.nan)
     if params.median and not params.median_first:
-        # mgm's MEDIAN postfilter smooths the surviving disparities; it must
-        # not resurrect pixels rejected by the LR/validity tests (doing so
-        # re-validates occluded pixels with foreground/background-mixed
-        # values -- the dominant source of large DSM errors at building
-        # edges).
         med = _nan_median3(disp)
-        disp = jnp.where(valid, med, jnp.nan)
-        valid = valid & jnp.isfinite(disp)
+        if params.median_fill:
+            # NaN-aware median that fills rejected pixels from valid
+            # neighbors (densifies like the binary's output)
+            disp = med
+            valid = jnp.isfinite(disp)
+        else:
+            # smoothing only: must not resurrect LR-rejected pixels with
+            # foreground/background-mixed values
+            disp = jnp.where(valid, med, jnp.nan)
+            valid = valid & jnp.isfinite(disp)
+    elif params.median and params.median_first and params.median_fill:
+        med = _nan_median3(disp)
+        disp = med
+        valid = jnp.isfinite(disp)
 
     return {'disp': disp, 'valid': valid, 'confidence': confidence}
+
+
+@functools.partial(jax.jit, static_argnames=('disp_min', 'disp_max', 'params'))
+def sgm_match(im1, im2, disp_min: int, disp_max: int, params: SgmParams,
+              p2_scale=None, p2_scale_r=None):
+    """Dense disparity of a rectified pair by census + SGM aggregation.
+
+    Args:
+        im1, im2: rectified reference/secondary images (NaN = invalid).
+        disp_min, disp_max: inclusive integer disparity bounds (static).
+        params: aggregation parameters.
+
+    Returns:
+        dict with 'disp' (float32, NaN invalid), 'valid' (bool), and
+        'confidence' (float32 in [0, 1], direction-consensus score).
+    """
+    return _match_core(im1, im2, int(disp_min), disp_max - disp_min + 1,
+                       params, p2_scale, p2_scale_r, allow_pallas=True)
+
+
+@functools.partial(jax.jit, static_argnames=('D', 'params'))
+def sgm_match_batch(im1_b, im2_b, disp_min_b, D: int, params: SgmParams):
+    """Batched matcher: one compiled program for a whole tile bucket.
+
+    The tile axis vmaps over images of a common padded shape with PER-TILE
+    traced disparity bases (disp_min_b int32 (n,)), so tiles with different
+    local search ranges share the program -- the mesh execution engine's
+    stage-4 kernel.  Shard the leading axis over a device mesh to scale
+    (XLA partitions the vmapped program along the batch dimension).
+    """
+    def one(a, b, dm):
+        return _match_core(a, b, dm, D, params, allow_pallas=False)
+    return jax.vmap(one)(im1_b, im2_b, jnp.asarray(disp_min_b, jnp.int32))
 
 
 def match_pair(im1, im2, disp_min, disp_max, params: SgmParams = SgmParams(),

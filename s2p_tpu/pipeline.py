@@ -259,6 +259,98 @@ def stereo_matching(cfg: Config, tile, i):
                       np.asarray(conf, dtype=np.float32))
 
 
+def stereo_matching_all(cfg: Config, tiles_pairs, timeout=600):
+    """Stage 4 driven as the batched mesh engine.
+
+    Tiles are bucketed by padded rectified shape and padded candidate
+    count; each bucket runs as ONE vmapped device program
+    (:func:`s2p_tpu.ops.sgm.sgm_match_batch`) with per-tile traced
+    disparity bases, the batch axis sharded over the device mesh when more
+    than one device is attached.  This replaces the reference's
+    one-process-per-tile matcher fan-out (parallel.py:58-110) with a
+    data-parallel array program; matchers other than the default census
+    engine fall back to the per-tile path.
+    """
+    algo = cfg.matching_algorithm
+    if algo != 'mgm' or cfg.msk_erosion >= 2:
+        runner.launch_calls(lambda t, i: stereo_matching(cfg, t, i),
+                            tiles_pairs, 1, timeout=timeout, debug=cfg.debug)
+        return
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .ops.sgm import sgm_match_batch
+
+    params = matching._sgm_params_from_cfg(cfg, multi=False)
+    jobs = []
+    for tile, i in tiles_pairs:
+        out_dir = os.path.join(tile['dir'], f'pair_{i}')
+        rect1 = geotiff.read(os.path.join(out_dir, 'rectified_ref.tif')) \
+            .astype(np.float32)
+        rect2 = geotiff.read(os.path.join(out_dir, 'rectified_sec.tif')) \
+            .astype(np.float32)
+        dmin, dmax = np.loadtxt(os.path.join(out_dir, 'disp_min_max.txt'))
+        dmin, dmax = matching.clamp_disparity_range(cfg, rect1.shape[1],
+                                                    dmin, dmax)
+        h, w = rect1.shape
+        Hp = -(-h // 64) * 64
+        Wp = -(-max(w, rect2.shape[1]) // 64) * 64
+        Dp = -(-(dmax - dmin + 1) // 16) * 16
+        jobs.append(dict(out_dir=out_dir, rect1=rect1, rect2=rect2,
+                         dmin=int(dmin), dmax=int(dmax),
+                         key=(Hp, Wp, Dp)))
+
+    n_dev = len(jax.devices())
+    buckets = {}
+    for j in jobs:
+        buckets.setdefault(j['key'], []).append(j)
+
+    for (Hp, Wp, Dp), group in buckets.items():
+        n = len(group)
+        n_pad = -(-n // n_dev) * n_dev
+        b1 = np.full((n_pad, Hp, Wp), np.nan, np.float32)
+        b2 = np.full((n_pad, Hp, Wp), np.nan, np.float32)
+        dmins = np.zeros(n_pad, np.int32)
+        for k, j in enumerate(group):
+            b1[k, :j['rect1'].shape[0], :j['rect1'].shape[1]] = j['rect1']
+            b2[k, :j['rect2'].shape[0], :j['rect2'].shape[1]] = j['rect2']
+            dmins[k] = j['dmin']
+        if n_dev > 1:
+            from .parallel.mesh import TileMesh
+            shard = TileMesh().shard()
+            b1 = jax.device_put(jnp.asarray(b1), shard)
+            b2 = jax.device_put(jnp.asarray(b2), shard)
+            dmins_d = jax.device_put(jnp.asarray(dmins),
+                                     NamedSharding(shard.mesh, P('tiles')))
+        else:
+            b1, b2, dmins_d = jnp.asarray(b1), jnp.asarray(b2), \
+                jnp.asarray(dmins)
+        out = sgm_match_batch(b1, b2, dmins_d, int(Dp), params)
+        disp_b = np.asarray(out['disp'])
+        valid_b = np.asarray(out['valid'])
+        conf_b = np.asarray(out['confidence'])
+        for k, j in enumerate(group):
+            h, w = j['rect1'].shape
+            disp = disp_b[k, :h, :w]
+            valid = valid_b[k, :h, :w]
+            conf = conf_b[k, :h, :w]
+            # discard candidates introduced by the disparity padding
+            bad = disp > j['dmax'] + 0.5
+            disp = np.where(bad, np.nan, disp)
+            valid = valid & ~bad
+            disp, mask = matching.finalize_disparity(disp, valid,
+                                                     j['rect1'], j['rect2'])
+            geotiff.write(os.path.join(j['out_dir'], 'rectified_disp.tif'),
+                          disp, nodata=float('nan'))
+            geotiff.write_png(os.path.join(j['out_dir'],
+                                           'rectified_mask.png'),
+                              (mask * 255).astype(np.uint8))
+            geotiff.write(os.path.join(j['out_dir'],
+                                       'rectified_disp_confidence.tif'),
+                          conf.astype(np.float32))
+
+
 # --------------------------------------------------------------------- #
 # Stage 5: triangulation
 # --------------------------------------------------------------------- #
@@ -278,35 +370,67 @@ def _tile_colors(cfg: Config, tile, shape_like):
     return linear_stretching_and_quantization_8bit(img)[None]
 
 
-def disparity_to_ply(cfg: Config, tile):
-    """Stage 5, pair mode (reference __init__.py:242-318)."""
+def _ply_tile_job(cfg: Config, tile):
+    """Host prep of one tile's triangulation inputs (stage 5, pair mode)."""
     out_dir = tile['dir']
     x, y, w, h = tile['coordinates']
-    rpc1, rpc2 = cfg.images[0].rpcm, cfg.images[1].rpcm
     pdir = os.path.join(out_dir, 'pair_1')
-
-    H_ref = np.loadtxt(os.path.join(pdir, 'H_ref.txt'))
-    H_sec = np.loadtxt(os.path.join(pdir, 'H_sec.txt'))
     pointing_file = os.path.join(cfg.out_dir, 'global_pointing_pair_1.txt')
-    disp = geotiff.read(os.path.join(pdir, 'rectified_disp.tif'))
-    mask_rect = geotiff.read_png(os.path.join(pdir, 'rectified_mask.png'))
-    mask_orig = geotiff.read_png(os.path.join(out_dir, 'mask.png'))
-
     extra = os.path.join(pdir, 'rectified_disp_confidence.tif')
-    confidence = geotiff.read(extra) if os.path.exists(extra) else None
+    return dict(
+        rpc1=cfg.images[0].rpcm, rpc2=cfg.images[1].rpcm,
+        H1=np.loadtxt(os.path.join(pdir, 'H_ref.txt')),
+        H2=np.loadtxt(os.path.join(pdir, 'H_sec.txt')),
+        disp=geotiff.read(os.path.join(pdir, 'rectified_disp.tif')),
+        mask_rect=geotiff.read_png(os.path.join(pdir, 'rectified_mask.png')),
+        mask_orig=geotiff.read_png(os.path.join(out_dir, 'mask.png')),
+        img_bbx=(x, x + w, y, y + h),
+        A=np.loadtxt(pointing_file),
+        confidence=geotiff.read(extra) if os.path.exists(extra) else None,
+    )
 
-    xyz, err = triangulation.disp_to_xyz(
-        rpc1, rpc2, H_ref, H_sec, disp, mask_rect,
-        img_bbx=(x, x + w, y, y + h), mask_orig=mask_orig,
-        A=np.loadtxt(pointing_file), out_crs=crsmod.CRS(cfg.out_crs))
 
+def _ply_tile_finish(cfg: Config, tile, job, xyz, err):
+    """Host post of one tile: 3D filter, colors, PLY write."""
     if cfg.filtering_3d_r and cfg.filtering_3d_n:
         filter_xyz(xyz, cfg.filtering_3d_r, cfg.filtering_3d_n, cfg.gsd)
-
-    colors = _tile_colors(cfg, tile, disp.shape)
+    colors = _tile_colors(cfg, tile, job['disp'].shape)
     proj_com = 'CRS {}'.format(cfg.out_crs)
-    _write_tile_cloud(os.path.join(out_dir, 'cloud.ply'), xyz, colors,
-                      proj_com, confidence)
+    _write_tile_cloud(os.path.join(tile['dir'], 'cloud.ply'), xyz, colors,
+                      proj_com, job['confidence'])
+
+
+def disparity_to_ply(cfg: Config, tile):
+    """Stage 5, pair mode (reference __init__.py:242-318)."""
+    job = _ply_tile_job(cfg, tile)
+    xyz, err = triangulation.disp_to_xyz(
+        job['rpc1'], job['rpc2'], job['H1'], job['H2'], job['disp'],
+        job['mask_rect'], img_bbx=job['img_bbx'],
+        mask_orig=job['mask_orig'], A=job['A'],
+        out_crs=crsmod.CRS(cfg.out_crs))
+    _ply_tile_finish(cfg, tile, job, xyz, err)
+
+
+def disparity_to_ply_all(cfg: Config, tiles, timeout=600):
+    """Stage 5 driven as the batched mesh engine: all tiles triangulate in
+    one vmapped device program per shape bucket
+    (:func:`s2p_tpu.core.triangulation.disp_to_xyz_batch`); the host-side
+    finish (3D filter, colors, PLY) fans out on threads."""
+    jobs = []
+    for tile in tiles:
+        try:
+            jobs.append(_ply_tile_job(cfg, tile))
+        except (OSError, ValueError):
+            jobs.append(None)    # missing tile outputs tolerated (parity)
+    live = [(t, j) for t, j in zip(tiles, jobs) if j is not None]
+    if not live:
+        return
+    results = triangulation.disp_to_xyz_batch(
+        [j for _, j in live], out_crs=crsmod.CRS(cfg.out_crs))
+    runner.launch_calls(
+        lambda args: _ply_tile_finish(cfg, args[0][0], args[0][1],
+                                      args[1][0], args[1][1]),
+        list(zip(live, results)), None, tilewise=False, timeout=timeout)
 
 
 def _write_tile_cloud(path, xyz, colors, proj_com, confidence=None):
@@ -581,9 +705,7 @@ def main(user_cfg, start_from=0):
                                 debug=cfg.debug)
     if start_from <= 4:
         with _stage('4) running stereo matching...'):
-            runner.launch_calls(lambda t, i: stereo_matching(cfg, t, i),
-                                tiles_pairs, 1, timeout=cfg.mgm_timeout,
-                                debug=cfg.debug)
+            stereo_matching_all(cfg, tiles_pairs, timeout=cfg.mgm_timeout)
     if start_from <= 5:
         if n > 2:
             with _stage('5) height maps, offsets, fusion, point clouds...'):
@@ -602,8 +724,7 @@ def main(user_cfg, start_from=0):
                                     debug=cfg.debug)
         else:
             with _stage('5) triangulating tiles...'):
-                runner.launch_calls(lambda t: disparity_to_ply(cfg, t), tiles,
-                                    1, timeout=timeout, debug=cfg.debug)
+                disparity_to_ply_all(cfg, tiles, timeout=timeout)
     if start_from <= 6:
         with _stage('6) computing DSM by tile...'):
             runner.launch_calls(lambda t: plys_to_dsm(cfg, t), tiles,
