@@ -42,7 +42,7 @@ from .sift import (DELTA_MIN, SIGMA_MIN, SIGMA_IN, N_SPO, C_EDGE, LAMBDA_ORI,
                    LAMBDA_DESCR, N_BINS, N_HIST, N_ORI, _gauss_kernel,
                    _hist_peaks, _fetch_all)
 
-_CHUNK = 256          # jobs per orientation/descriptor dispatch
+_CHUNK = 512          # jobs per orientation/descriptor dispatch
 _MARGIN = 64          # atlas outer margin (>= max patch radius)
 _R_ORI = 24           # shared orientation patch radius (covers sigma_oct<=5)
 _R_DESC = 56          # shared descriptor patch radius
@@ -477,58 +477,60 @@ def keypoints_from_array_tpu(arr, thresh_dog=0.0133, n_octaves=8,
                 ylo=oy + 1.0, yhi=oy + ho - 2.0,
                 xlo=ox + 1.0, xhi=ox + wo - 2.0))
 
-    # phase 1: orientation histograms over all groups, one fetch
+    # phase 1: orientation histograms -- ONE merged job stream across every
+    # (octave, scale) group (the kernels take per-job atlas bounds, so the
+    # group structure carries no dispatch requirement; per-group chunking
+    # cost ~n_groups tunnel round-trips per image and dominated the
+    # pointing stage)
     ori_kern = _ori_kernel_atlas()
-    handles = []
-    for grp in groups:
-        n = len(grp['ys'])
-        b = np.broadcast_to
-        cols = [('y', grp['ys'] + grp['oy']), ('x', grp['xs'] + grp['ox']),
-                ('s', grp['sigma_oct']),
-                ('ylo', b(grp['ylo'], (n,))), ('yhi', b(grp['yhi'], (n,))),
-                ('xlo', b(grp['xlo'], (n,))), ('xhi', b(grp['xhi'], (n,)))]
-        grp['_h'] = _dispatch_atlas(ori_kern, gmag, gori, cols, n)
-        handles += grp['_h']
-    all_hists = _fetch_all(handles)
 
-    # phase 2: peaks -> descriptor jobs, one fetch
+    def col(name, per_grp):
+        return (name, np.concatenate([np.broadcast_to(
+            np.asarray(per_grp(g), np.float32), (len(g['_jobs']),))
+            for g in groups]) if groups else np.zeros(0, np.float32))
+
+    for g in groups:
+        g['_jobs'] = g['ys']            # phase-1 jobs = all candidates
+    n_all = sum(len(g['ys']) for g in groups)
+    cols = [col('y', lambda g: g['ys'] + g['oy']),
+            col('x', lambda g: g['xs'] + g['ox']),
+            col('s', lambda g: g['sigma_oct']),
+            col('ylo', lambda g: g['ylo']), col('yhi', lambda g: g['yhi']),
+            col('xlo', lambda g: g['xlo']), col('xhi', lambda g: g['xhi'])]
+    hist_all = np.concatenate(_fetch_all(
+        _dispatch_atlas(ori_kern, gmag, gori, cols, n_all)), axis=0)[:n_all] \
+        if n_all else np.zeros((0, N_BINS), np.float32)
+
+    # phase 2: peaks -> descriptor jobs, again one merged stream
     desc_kern = _desc_kernel_atlas()
     pos = 0
-    handles = []
     for grp in groups:
-        k = len(grp['_h'])
-        hist = (np.concatenate(all_hists[pos:pos + k], axis=0)
-                [:len(grp['ys'])]) if k else np.zeros((0, N_BINS))
-        pos += k
-        oris = _hist_peaks(hist)
-        job_kp = np.array([i for i, a in enumerate(oris) for _ in a],
-                          dtype=np.int64)
-        job_theta = np.array([t for a in oris for t in a], dtype=np.float32)
-        grp['job_kp'] = job_kp
-        grp['job_theta'] = job_theta
-        m = len(job_kp)
-        if m:
-            b = np.broadcast_to
-            cols = [('y', grp['ys'][job_kp] + grp['oy']),
-                    ('x', grp['xs'][job_kp] + grp['ox']),
-                    ('s', grp['sigma_oct'][job_kp]), ('t', job_theta),
-                    ('ylo', b(grp['ylo'], (m,))), ('yhi', b(grp['yhi'], (m,))),
-                    ('xlo', b(grp['xlo'], (m,))), ('xhi', b(grp['xhi'], (m,)))]
-            grp['_d'] = _dispatch_atlas(desc_kern, gmag, gori, cols, m)
-        else:
-            grp['_d'] = []
-        handles += grp['_d']
-    all_descs = _fetch_all(handles)
+        n = len(grp['ys'])
+        oris = _hist_peaks(hist_all[pos:pos + n])
+        pos += n
+        grp['job_kp'] = np.array([i for i, a in enumerate(oris) for _ in a],
+                                 dtype=np.int64)
+        grp['job_theta'] = np.array([t for a in oris for t in a],
+                                    dtype=np.float32)
+        grp['_jobs'] = grp['job_kp']    # phase-2 jobs = oriented keypoints
+    m_all = sum(len(g['job_kp']) for g in groups)
+    cols = [col('y', lambda g: g['ys'][g['job_kp']] + g['oy']),
+            col('x', lambda g: g['xs'][g['job_kp']] + g['ox']),
+            col('s', lambda g: g['sigma_oct'][g['job_kp']]),
+            col('t', lambda g: g['job_theta']),
+            col('ylo', lambda g: g['ylo']), col('yhi', lambda g: g['yhi']),
+            col('xlo', lambda g: g['xlo']), col('xhi', lambda g: g['xhi'])]
+    desc_all = np.concatenate(_fetch_all(
+        _dispatch_atlas(desc_kern, gmag, gori, cols, m_all)), axis=0)[:m_all] \
+        if m_all else np.zeros((0, 128), np.float32)
 
     pos = 0
     rows = []
     for grp in groups:
-        k = len(grp['_d'])
-        desc = (np.concatenate(all_descs[pos:pos + k], axis=0)
-                [:len(grp['job_kp'])]) if k else np.zeros((0, 128),
-                                                          np.float32)
-        pos += k
-        if len(grp['job_kp']) == 0:
+        m = len(grp['job_kp'])
+        desc = desc_all[pos:pos + m]
+        pos += m
+        if m == 0:
             continue
         jk = grp['job_kp']
         heads = np.column_stack([grp['xs'][jk] * grp['delta'],
