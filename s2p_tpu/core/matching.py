@@ -14,8 +14,8 @@ JAX engine sharing the census/SGM core:
                       (win 3, P1 8, P2 32; block_matching.py:116-134),
   * 'tvl1'         -- TV-L1 optical-flow disparity
                       (:mod:`s2p_tpu.ops.tvl1`),
-  * 'msmw'         -- multi-scale multi-window ZNCC correlation
-                      (:mod:`s2p_tpu.ops.msmw`).
+  * 'msmw'         -- multiscale multi-window correlation with the msmw2
+                      validity battery (:mod:`s2p_tpu.ops.msmw`).
 
 Range clamping, rounding, and the MaxDisparityRangeError guard follow the
 reference exactly (block_matching.py:61-84).
