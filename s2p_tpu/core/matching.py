@@ -51,18 +51,18 @@ def _sgm_params_from_cfg(cfg: Config, multi: bool) -> SgmParams:
     mult = cfg.stereo_regularity_multiplier
     return SgmParams(
         census_win=cfg.census_ncc_win,
-        p1=12.0 * mult,
-        p2=48.0 * mult,
+        p1=11.0 * mult,
+        p2=44.0 * mult,
         nb_dir=cfg.mgm_nb_directions,
         subpix='vfit',
         median=True,
         median_first=True,
         median_fill=True,
-        lr_tau=cfg.mgm_leftright_threshold,
+        lr_tau=1.2 * cfg.mgm_leftright_threshold,
         lr_enabled=cfg.mgm_leftright_control != 0,
         speckle_min_area=cfg.stereo_speckle_filter if multi else 0,
         mgm=False,
-        p2_edge_scale=0.5,
+        p2_edge_scale=0.6,
         lr_mode='volume',
     )
 

@@ -25,12 +25,15 @@ import functools
 import numpy as np
 
 
-def _splat_local(pts, w, xoff, yoff, res, halo, gw, gh):
-    """Scatter-add points into a halo-widened local grid (jnp).
+def _splat_local(pts, w, xoff, yoff, res, halo, gw, gh, radius, sigma):
+    """Gaussian scatter-add of points into a halo-widened local grid (jnp).
 
-    pts: (n, 3) x, y, z (NaN rows ignored); the local grid covers
-    x in [xoff - halo*res, xoff + (gw + halo)*res), rows likewise from the
-    top edge yoff.
+    Same splat model as :func:`s2p_tpu.ops.rasterize.plyflatten`: each point
+    contributes to every cell within ``radius`` cells of its containing
+    cell with weight exp(-d^2 / 2 sigma^2) of the point-to-cell-center
+    distance (uniform weights when sigma is None).  pts: (n, 3) x, y, z;
+    the local grid covers x in [xoff - halo*res, xoff + (gw + halo)*res)
+    and rows likewise below the top edge yoff + halo*res.
     """
     import jax.numpy as jnp
 
@@ -38,33 +41,60 @@ def _splat_local(pts, w, xoff, yoff, res, halo, gw, gh):
     H = gh + 2 * halo
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
     good = jnp.isfinite(x) & jnp.isfinite(y) & jnp.isfinite(z) & w
-    j = jnp.floor((x - xoff) / res).astype(jnp.int32) + halo
-    i = jnp.floor((yoff - y) / res).astype(jnp.int32) + halo
-    inb = good & (j >= 0) & (j < W) & (i >= 0) & (i < H)
-    flat = jnp.where(inb, i * W + j, 0)
-    wgt = jnp.where(inb, 1.0, 0.0)
-    acc = jnp.zeros(H * W).at[flat].add(wgt * jnp.where(inb, z, 0.0))
-    cnt = jnp.zeros(H * W).at[flat].add(wgt)
-    return acc.reshape(H, W), cnt.reshape(H, W)
+    fj = (x - xoff) / res + halo
+    fi = (yoff - y) / res + halo
+    j0 = jnp.floor(fj).astype(jnp.int32)
+    i0 = jnp.floor(fi).astype(jnp.int32)
+    inv2s2 = 0.0 if sigma is None else 1.0 / (2.0 * sigma * sigma)
+
+    acc = jnp.zeros(H * W)
+    wacc = jnp.zeros(H * W)
+    r = int(radius)
+    for dj in range(-r, r + 1):
+        for di in range(-r, r + 1):
+            jj = j0 + dj
+            ii = i0 + di
+            inb = good & (jj >= 0) & (jj < W) & (ii >= 0) & (ii < H)
+            # distance from the point to the center of cell (ii, jj),
+            # in the local (halo-shifted) frame
+            cx = xoff + (jj + 0.5 - halo) * res
+            cy = yoff - (ii + 0.5 - halo) * res
+            d2 = (x - cx) ** 2 + (y - cy) ** 2
+            wgt = jnp.where(inb, jnp.exp(-d2 * inv2s2), 0.0)
+            flat = jnp.where(inb, ii * W + jj, 0)
+            acc = acc.at[flat].add(wgt * jnp.where(inb, z, 0.0))
+            wacc = wacc.at[flat].add(wgt)
+    return acc.reshape(H, W), wacc.reshape(H, W)
 
 
-def sharded_dsm(mesh, tile_points, tile_valid, xoffs, yoff, res, gw, gh,
-                halo):
-    """Rasterize one mesh-row of adjacent tiles with ppermute halo exchange.
+def sharded_dsm(mesh, tile_points, tile_valid, xoffs, yoffs, res, gw, gh,
+                halo, grid_shape=None, radius=0, sigma=None):
+    """Rasterize a 2-D grid of tiles with two-phase ppermute halo reduction.
+
+    The collective form of the reference's 9-neighborhood plyflatten
+    (__init__.py:461-466 with dsm_radius/dsm_sigma): each device
+    gaussian-splats its own points into a halo-widened local grid, pushes
+    the overflow bands to its 4 lateral neighbors (corner contributions
+    ride the horizontal-then-vertical two-phase push), and the result is
+    numerically identical to rasterizing the concatenated cloud on one
+    device (weights are order-independent sums).
 
     Args:
-        mesh: :class:`s2p_tpu.parallel.TileMesh`.
-        tile_points: (n_tiles, n_pts, 3) float32; tile k owns the x-band
-            [xoffs[k], xoffs[k] + gw*res) (adjacent left-to-right in mesh
-            order).  Points may spill beyond their band by up to
-            ``halo`` cells (the splat halo).
+        mesh: :class:`s2p_tpu.parallel.TileMesh` (1-D axis; the tile grid
+            is laid out row-major on it).
+        tile_points: (n_tiles, n_pts, 3) float32 x, y, z; tile k owns the
+            cell block [xoffs[k], xoffs[k]+gw*res) x (yoffs[k]-gh*res,
+            yoffs[k]].  Points may spill into neighbor blocks by up to
+            halo - radius cells.
         tile_valid: (n_tiles, n_pts) bool.
-        xoffs: (n_tiles,) left edges; yoff: shared top edge.
-        gw, gh: per-tile grid size in cells; halo: band width in cells.
+        xoffs: (n_tiles,) west edges; yoffs: (n_tiles,) north edges.
+        gw, gh: per-tile grid size in cells; halo: band width in cells
+            (must be >= radius + max spill).
+        grid_shape: (nty, ntx) tile-grid layout; default (1, n).
+        radius, sigma: the plyflatten gaussian splat parameters.
 
     Returns:
-        (n_tiles, gh, gw) mean-z rasters (NaN where empty), halo
-        contributions from lateral neighbors included.
+        (n_tiles, gh, gw) weighted-mean-z rasters (NaN where empty).
     """
     import jax
     import jax.numpy as jnp
@@ -73,41 +103,48 @@ def sharded_dsm(mesh, tile_points, tile_valid, xoffs, yoff, res, gw, gh,
 
     ax = mesh.axis
     n = mesh.n
+    nty, ntx = grid_shape if grid_shape is not None else (1, n)
+    assert nty * ntx == n, 'tile grid must fill the mesh axis'
 
-    def step(pts, w, xoff):
-        acc, cnt = _splat_local(pts[0], w[0], xoff[0, 0], yoff, res,
-                                halo, gw, gh)
+    # neighbor permutations on the row-major 1-D layout (partial perms:
+    # devices without a receiver contribute nothing / receive zeros)
+    right = [(k, k + 1) for k in range(n) if (k % ntx) < ntx - 1]
+    left = [(k, k - 1) for k in range(n) if (k % ntx) > 0]
+    down = [(k, k + ntx) for k in range(n) if k + ntx < n]
+    up = [(k, k - ntx) for k in range(n) if k - ntx >= 0]
 
-        def exchange(a):
-            # send the right overflow band to the right neighbor's left
-            # halo position and vice versa; edge devices receive zeros
-            right = a[:, gw + halo:]                 # (H, halo)
-            left = a[:, :halo]
-            fwd = [(i, (i + 1) % n) for i in range(n)]
-            bwd = [(i, (i - 1) % n) for i in range(n)]
-            from_left = jax.lax.ppermute(right, ax, fwd)
-            from_right = jax.lax.ppermute(left, ax, bwd)
-            idx = jax.lax.axis_index(ax)
-            from_left = jnp.where(idx == 0, 0.0, from_left)
-            from_right = jnp.where(idx == n - 1, 0.0, from_right)
-            core = a[:, halo:gw + halo]
-            core = core.at[:, :halo].add(from_left)
-            core = core.at[:, gw - halo:].add(from_right)
-            return core[halo:gh + halo]
+    def step(pts, w, xoff, yoff):
+        acc, wacc = _splat_local(pts[0], w[0], xoff[0, 0], yoff[0, 0], res,
+                                 halo, gw, gh, radius, sigma)
 
-        acc = exchange(acc)
-        cnt = exchange(cnt)
-        out = jnp.where(cnt > 0, acc / jnp.maximum(cnt, 1), jnp.nan)
+        def push(a):
+            # phase 1: horizontal, full-height bands (carries corners)
+            from_left = jax.lax.ppermute(a[:, gw + halo:], ax, right)
+            from_right = jax.lax.ppermute(a[:, :halo], ax, left)
+            a = a.at[:, halo:2 * halo].add(from_left)
+            a = a.at[:, gw:gw + halo].add(from_right)
+            a = a[:, halo:gw + halo]
+            # phase 2: vertical, core-width bands (already merged in x)
+            from_above = jax.lax.ppermute(a[gh + halo:], ax, down)
+            from_below = jax.lax.ppermute(a[:halo], ax, up)
+            a = a.at[halo:2 * halo].add(from_above)
+            a = a.at[gh:gh + halo].add(from_below)
+            return a[halo:gh + halo]
+
+        acc = push(acc)
+        wacc = push(wacc)
+        out = jnp.where(wacc > 0, acc / jnp.maximum(wacc, 1e-30), jnp.nan)
         return out[None]
 
     sh = NamedSharding(mesh.mesh, P(ax))
     fn = shard_map(step, mesh=mesh.mesh,
-                   in_specs=(P(ax), P(ax), P(ax)),
+                   in_specs=(P(ax), P(ax), P(ax), P(ax)),
                    out_specs=P(ax))
     pts = jax.device_put(jnp.asarray(tile_points, jnp.float32), sh)
     w = jax.device_put(jnp.asarray(tile_valid), sh)
     xo = jax.device_put(jnp.asarray(xoffs, jnp.float32)[:, None], sh)
-    return np.asarray(jax.jit(fn)(pts, w, xo))
+    yo = jax.device_put(jnp.asarray(yoffs, jnp.float32)[:, None], sh)
+    return np.asarray(jax.jit(fn)(pts, w, xo, yo))
 
 
 def distributed_pointing_fit(mesh, centers, corrected):

@@ -105,7 +105,8 @@ def test_sharded_dsm_halo_exchange_matches_monolithic():
         z = rng.uniform(10, 50, n_pts)
         tile_points[k] = np.column_stack([x, y, z])
 
-    out = sharded_dsm(mesh, tile_points, tile_valid, xoffs, yoff, res,
+    yoffs = np.full(n, yoff, np.float32)
+    out = sharded_dsm(mesh, tile_points, tile_valid, xoffs, yoffs, res,
                       gw, gh, halo)
     assert out.shape == (n, gh, gw)
 
@@ -115,6 +116,51 @@ def test_sharded_dsm_halo_exchange_matches_monolithic():
     np.testing.assert_array_equal(np.isnan(got), np.isnan(ref))
     m = ~np.isnan(ref)
     np.testing.assert_allclose(got[m], ref[m], rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_dsm_2d_gaussian_matches_plyflatten():
+    """2-D tile grid + gaussian radius/sigma splat: the two-phase halo push
+    (incl. diagonal corner contributions) must equal the monolithic
+    plyflatten of the concatenated cloud (reference 9-neighborhood
+    rasterization, __init__.py:461-466)."""
+    from s2p_tpu.parallel.halo import sharded_dsm
+    from s2p_tpu.ops.rasterize import plyflatten
+
+    mesh = TileMesh()
+    n = mesh.n
+    nty, ntx = 2, n // 2
+    gw, gh, halo, res = 12, 10, 4, 0.5
+    radius, sigma = 2, 0.8
+    x0, y0 = 5000.0, 200.0
+    rng = np.random.RandomState(3)
+    n_pts = 250
+    tile_points = np.zeros((n, n_pts, 3), np.float32)
+    tile_valid = np.ones((n, n_pts), bool)
+    xoffs = np.zeros(n, np.float32)
+    yoffs = np.zeros(n, np.float32)
+    for k in range(n):
+        ty, tx = divmod(k, ntx)
+        xoffs[k] = x0 + tx * gw * res
+        yoffs[k] = y0 - ty * gh * res
+        spill = (halo - radius) * res
+        x = xoffs[k] + rng.uniform(-spill, gw * res + spill, n_pts)
+        y = yoffs[k] - rng.uniform(-spill, gh * res + spill, n_pts)
+        x = np.clip(x, x0, x0 + ntx * gw * res - 1e-3)
+        y = np.clip(y, y0 - nty * gh * res + 1e-3, y0)
+        z = rng.uniform(10, 50, n_pts)
+        tile_points[k] = np.column_stack([x, y, z])
+
+    out = sharded_dsm(mesh, tile_points, tile_valid, xoffs, yoffs, res,
+                      gw, gh, halo, grid_shape=(nty, ntx),
+                      radius=radius, sigma=sigma)
+
+    ref = plyflatten(tile_points.reshape(-1, 3), x0, y0, res,
+                     ntx * gw, nty * gh, radius=radius, sigma=sigma)[..., 0]
+    got = np.block([[out[ty * ntx + tx] for tx in range(ntx)]
+                    for ty in range(nty)])
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(ref))
+    m = ~np.isnan(ref)
+    np.testing.assert_allclose(got[m], ref[m], rtol=1e-4, atol=1e-3)
 
 
 def test_distributed_pointing_fit_matches_lstsq():
