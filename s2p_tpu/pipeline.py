@@ -687,51 +687,71 @@ def main(user_cfg, start_from=0):
     tiles_pairs = [(t, i) for i in range(1, n) for t in tiles]
     timeout = cfg.timeout
 
+    # multi-host: each process owns a contiguous block of the tile list
+    # (host-local IO); stage boundaries are barriers; global reductions and
+    # the mosaic run on process 0 against the shared out_dir (the same
+    # file contract the reference uses between pool workers)
+    from .parallel import distributed as dist
+    my_tiles = dist.partition_tiles(tiles)
+    my_tiles_pairs = [(t, i) for i in range(1, n) for t in my_tiles]
+
     if start_from <= 1:
         with _stage('1) correcting pointing locally...'):
             runner.launch_calls(lambda t, i: pointing_correction(cfg, t, i),
-                                tiles_pairs, nb_workers, timeout=timeout,
+                                my_tiles_pairs, nb_workers, timeout=timeout,
                                 debug=cfg.debug)
+        dist.barrier('pointing')
     if start_from <= 2:
         with _stage('2) correcting pointing globally...'):
-            global_pointing_correction(cfg, tiles)
+            if dist.is_primary():
+                global_pointing_correction(cfg, tiles)
+        dist.barrier('global_pointing')
     # device-heavy stages run serially: the accelerator stream is the
     # bottleneck and concurrent jit compilation through the TPU tunnel is
     # unreliable; host-heavy stages (pointing, rasterization) stay threaded
     if start_from <= 3:
         with _stage('3) rectifying tiles...'):
             runner.launch_calls(lambda t, i: rectification_pair(cfg, t, i),
-                                tiles_pairs, 1, timeout=timeout,
+                                my_tiles_pairs, 1, timeout=timeout,
                                 debug=cfg.debug)
+        dist.barrier('rectification')
     if start_from <= 4:
         with _stage('4) running stereo matching...'):
-            stereo_matching_all(cfg, tiles_pairs, timeout=cfg.mgm_timeout)
+            stereo_matching_all(cfg, my_tiles_pairs, timeout=cfg.mgm_timeout)
+        dist.barrier('matching')
     if start_from <= 5:
         if n > 2:
             with _stage('5) height maps, offsets, fusion, point clouds...'):
                 runner.launch_calls(
                     lambda t, i: disparity_to_height(cfg, t, i),
-                    tiles_pairs, 1, timeout=timeout, debug=cfg.debug)
+                    my_tiles_pairs, 1, timeout=timeout, debug=cfg.debug)
                 print('5b) computing local pairwise height offsets...')
-                runner.launch_calls(lambda t: mean_heights(cfg, t), tiles,
+                runner.launch_calls(lambda t: mean_heights(cfg, t), my_tiles,
                                     nb_workers, timeout=timeout,
                                     debug=cfg.debug)
+                dist.barrier('mean_heights')
                 print('5c) computing global pairwise height offsets...')
-                global_mean_heights(cfg, tiles)
+                if dist.is_primary():
+                    global_mean_heights(cfg, tiles)
+                dist.barrier('global_mean_heights')
                 print('5d) merging height maps and computing point clouds...')
-                runner.launch_calls(lambda t: heights_to_ply(cfg, t), tiles,
-                                    nb_workers, timeout=timeout,
+                runner.launch_calls(lambda t: heights_to_ply(cfg, t),
+                                    my_tiles, nb_workers, timeout=timeout,
                                     debug=cfg.debug)
         else:
             with _stage('5) triangulating tiles...'):
-                disparity_to_ply_all(cfg, tiles, timeout=timeout)
+                disparity_to_ply_all(cfg, my_tiles, timeout=timeout)
+        dist.barrier('clouds')
     if start_from <= 6:
         with _stage('6) computing DSM by tile...'):
-            runner.launch_calls(lambda t: plys_to_dsm(cfg, t), tiles,
+            runner.launch_calls(lambda t: plys_to_dsm(cfg, t), my_tiles,
                                 nb_workers, timeout=timeout, debug=cfg.debug)
+        dist.barrier('tile_dsm')
     if start_from <= 7:
         with _stage('7) computing global DSM...'):
-            global_dsm(cfg, tiles)
+            if dist.is_primary():
+                global_dsm(cfg, tiles)
+        dist.barrier('global_dsm')
 
     clear_image_cache()
     return cfg
