@@ -428,8 +428,7 @@ def disparity_to_ply_all(cfg: Config, tiles, timeout=600):
     results = triangulation.disp_to_xyz_batch(
         [j for _, j in live], out_crs=crsmod.CRS(cfg.out_crs))
     runner.launch_calls(
-        lambda args: _ply_tile_finish(cfg, args[0][0], args[0][1],
-                                      args[1][0], args[1][1]),
+        lambda tj, res: _ply_tile_finish(cfg, tj[0], tj[1], res[0], res[1]),
         list(zip(live, results)), None, tilewise=False, timeout=timeout)
 
 
