@@ -266,6 +266,11 @@ def disp_to_xyz_batch(jobs, out_crs=None):
             args = jax.tree_util.tree_map(
                 lambda a: jax.device_put(a, sh), args)
         outs = _triangulate_grid_batch_jit()(*args)
+        for o in outs:     # overlap the tunnel fetches of all outputs
+            try:
+                o.copy_to_host_async()
+            except AttributeError:
+                pass
         for k, idx in enumerate(idxs):
             tile_outs = tuple(np.asarray(o[k]) for o in outs)
             results[idx] = _post_triangulation(

@@ -92,7 +92,11 @@ def plyflatten(points, xoff, yoff, resolution, xsize, ysize,
     with np.errstate(invalid='ignore', divide='ignore'):
         out = acc / wacc[:, None]
     out[wacc == 0] = np.nan
-    return out.reshape(ysize, xsize, nch)
+    # float32 output raster (the reference plyflatten's contract): the
+    # accumulation stays f64, so tilewise and monolithic rasterizations of
+    # the same points round to BITWISE-equal f32 values -- the property the
+    # zero-tolerance seamlessness test checks (end2end_test.py:100-115)
+    return out.reshape(ysize, xsize, nch).astype(np.float32)
 
 
 def plyflatten_from_plyfiles_list(clouds_list, resolution, roi=None,
