@@ -149,11 +149,16 @@ def compute_disparity_map(cfg: Config, im1, im2, disp_min=None, disp_max=None,
             im1, im2 = _laplacian(im1), _laplacian(im2)
         elif algo == 'hirschmuller08_cauchy':
             im1, im2 = _cauchy_prefilter(im1), _cauchy_prefilter(im2)
-        # OpenCV convention: penalties scale with the matching block area
+        # OpenCV convention: penalties scale with the matching block area;
+        # the vendored wrapper also enables uniquenessRatio=10 and the
+        # speckle filter (50 px window, range 1; sgbm.cpp:185-192)
         params = SgmParams(census_win=3, cost='bt', p1=8.0 * 9, p2=32.0 * 9,
                            nb_dir=8, subpix='parabola', median=False,
-                           lr_tau=1.0, lr_enabled=True)
+                           lr_tau=1.0, lr_enabled=True, uniqueness_ratio=10.0)
         disp, valid, conf = match_pair(im1, im2, disp_min, disp_max, params)
+        valid = remove_small_disparity_speckles(
+            np.nan_to_num(disp), valid, 50, tol=1.0)
+        disp = np.where(valid, disp, np.nan)
         conf = None
     elif algo == 'hirschmuller02':
         # correlation stereo with a LoG prefilter (BoofCV subpix.sh contract)

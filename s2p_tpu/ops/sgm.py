@@ -59,6 +59,10 @@ class SgmParams:
     #                             mgm: the binary's TSGM env var (s2p sets
     #                             TSGM=3; 2 = the BMVC'15 recursion)
     min_confidence: float = 0.0  # drop pixels below this consensus score
+    uniqueness_ratio: float = 0.0  # OpenCV-SGBM uniqueness check: reject
+    #                             when a candidate outside +-1 of the WTA
+    #                             is within this percentage of the minimum
+    #                             (stereosgbm.cpp:775; 0 = off)
     lr_mode: str = 'volume'     # 'volume': dual-volume RL; 'full': true
     #                             second aggregation with swapped images
     p2_edge_scale: float = 1.0  # P2 multiplier at strong intensity edges
@@ -372,6 +376,15 @@ def _match_core(im1, im2, disp_min, D: int, params: SgmParams,
     valid = val1
     if params.min_confidence > 0:
         valid = valid & (confidence >= params.min_confidence)
+    if params.uniqueness_ratio > 0 and S is not None:
+        # OpenCV SGBM uniqueness: any candidate farther than 1 from the
+        # WTA must cost more than minS by the given margin
+        ks = jnp.arange(S.shape[-1])
+        far = jnp.abs(ks[None, None, :] - d_int[..., None]) > 1
+        second = jnp.min(jnp.where(far, S, jnp.inf), axis=-1)
+        minS = jnp.take_along_axis(S, d_int[..., None], axis=-1)[..., 0]
+        valid = valid & (second * (100.0 - params.uniqueness_ratio)
+                         >= minS * 100.0)
 
     if params.median and params.median_first:
         # mgm-style order: smooth the raw maps first, then the LR test
