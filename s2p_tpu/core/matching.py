@@ -23,6 +23,8 @@ reference exactly (block_matching.py:61-84).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..config import Config
@@ -57,13 +59,14 @@ def _sgm_params_from_cfg(cfg: Config, multi: bool) -> SgmParams:
         subpix='vfit',
         median=True,
         median_first=True,
-        median_fill=True,
         lr_tau=1.2 * cfg.mgm_leftright_threshold,
         lr_enabled=cfg.mgm_leftright_control != 0,
         speckle_min_area=cfg.stereo_speckle_filter if multi else 0,
         mgm=False,
         p2_edge_scale=0.6,
         lr_mode='volume',
+        median_fill=os.environ.get('S2P_TPU_MEDIAN_FILL', '1') != '0',
+        fill_coh_tau=float(os.environ.get('S2P_TPU_FILL_COH', '0')),
     )
 
 

@@ -73,6 +73,10 @@ class SgmParams:
     #                             test (both maps smoothed, then compared)
     median_fill: bool = False   # the final median may fill (resurrect)
     #                             rejected pixels from valid neighbors
+    fill_coh_tau: float = 0.0   # when > 0, fill only pixels whose 3x3
+    #                             valid-neighbor disparity spread is <= tau
+    #                             (suppresses fg/bg-mixed fill values at
+    #                             occlusion boundaries); 0 = always fill
     overcount_fix: bool = True  # MGM energy overcount fix
     #                             (TSGM_FIX_OVERCOUNT, mgm engine only)
     backend: str = 'auto'       # 'auto' (pallas on TPU, lax elsewhere),
@@ -198,6 +202,33 @@ def _nan_median3(x):
     for k in range(1, 9):
         med = jnp.where(idx == k, v[k], med)
     return jnp.where(n > 0, med, jnp.nan)
+
+
+def _nan_spread3(x):
+    """max - min of the valid values in each 3x3 neighborhood (NaN-aware)."""
+    h, w = x.shape
+    pad = jnp.pad(x, 1, constant_values=jnp.nan)
+    lo = jnp.full_like(x, jnp.inf)
+    hi = jnp.full_like(x, -jnp.inf)
+    for dy in range(3):
+        for dx in range(3):
+            t = pad[dy:dy + h, dx:dx + w]
+            fin = jnp.isfinite(t)
+            lo = jnp.minimum(lo, jnp.where(fin, t, jnp.inf))
+            hi = jnp.maximum(hi, jnp.where(fin, t, -jnp.inf))
+    return hi - lo
+
+
+def _median_fill(disp, valid, coh_tau):
+    """NaN-aware 3x3 median that also fills invalid pixels from their valid
+    neighbors; with ``coh_tau`` > 0 a rejected pixel is only resurrected
+    when the neighborhood disparity spread is <= tau, so occlusion-boundary
+    fills (foreground/background mixtures) stay invalid."""
+    med = _nan_median3(disp)
+    if coh_tau > 0:
+        coherent = _nan_spread3(disp) <= coh_tau
+        med = jnp.where(valid | coherent, med, jnp.nan)
+    return med, jnp.isfinite(med)
 
 
 def _subpixel(S, d_int, mode):
@@ -434,21 +465,18 @@ def _match_core(im1, im2, disp_min, D: int, params: SgmParams,
 
     disp = jnp.where(valid, disp, jnp.nan)
     if params.median and not params.median_first:
-        med = _nan_median3(disp)
         if params.median_fill:
             # NaN-aware median that fills rejected pixels from valid
             # neighbors (densifies like the binary's output)
-            disp = med
-            valid = jnp.isfinite(disp)
+            disp, valid = _median_fill(disp, valid, params.fill_coh_tau)
         else:
             # smoothing only: must not resurrect LR-rejected pixels with
             # foreground/background-mixed values
+            med = _nan_median3(disp)
             disp = jnp.where(valid, med, jnp.nan)
             valid = valid & jnp.isfinite(disp)
     elif params.median and params.median_first and params.median_fill:
-        med = _nan_median3(disp)
-        disp = med
-        valid = jnp.isfinite(disp)
+        disp, valid = _median_fill(disp, valid, params.fill_coh_tau)
 
     return {'disp': disp, 'valid': valid, 'confidence': confidence}
 
