@@ -25,22 +25,21 @@ sys.path.insert(0, '/root/repo')
 
 
 def _production_params():
-    """The stage-4 engine parameters the pipeline actually runs
-    (core/matching._sgm_params_from_cfg defaults)."""
+    """The stage-4 engine parameters the pipeline actually runs: the
+    binary-faithful mgm flow (core/matching.mgm_variant_from_cfg)."""
     from s2p_tpu.config import Config
-    from s2p_tpu.core.matching import _sgm_params_from_cfg
+    from s2p_tpu.core.matching import mgm_variant_from_cfg
     cfg = Config(roi={'x': 0, 'y': 0, 'w': 1, 'h': 1})
-    return _sgm_params_from_cfg(cfg, multi=False)
+    return mgm_variant_from_cfg(cfg)
 
 
 def bench_matcher(params):
     import jax
     import jax.numpy as jnp
-    from s2p_tpu.ops.sgm import sgm_match
+    from s2p_tpu.ops.mgm_flow import _flow_jit
 
     H, W, D = 512, 512, 64
     disp_min = -8
-    disp_max = disp_min + D - 1
     rng = np.random.RandomState(0)
     im1 = (rng.rand(H, W).astype(np.float32) * 1000)
     im2 = np.roll(im1, 5, axis=1) + rng.rand(H, W).astype(np.float32)
@@ -48,7 +47,7 @@ def bench_matcher(params):
     a = jnp.asarray(im1)
     b = jnp.asarray(im2)
     step = jax.jit(lambda a, b: jnp.nansum(
-        sgm_match(a, b, disp_min, disp_max, params)['disp']))
+        _flow_jit(a, b, disp_min, D, params)[0]))
     float(step(a, b))
     float(step(a, b))
 
@@ -68,21 +67,25 @@ def bench_stage4_batch(params, B=8):
     (448x512 rectified crops, 80 candidates -- the shapes the e2e pair
     scene compiles)."""
     import jax.numpy as jnp
-    from s2p_tpu.ops.sgm import sgm_match_batch
+    from s2p_tpu.ops.mgm_flow import mgm_binary_match_batch
 
     H, W, D = 448, 512, 80
     rng = np.random.RandomState(0)
     b1 = rng.rand(B, H, W).astype(np.float32) * 1000
     b2 = np.roll(b1, 5, axis=2) + rng.rand(B, H, W).astype(np.float32)
     dmins = jnp.full((B,), -40, jnp.int32)
+    ext = jnp.full((B,), 440, jnp.int32)
     a = jnp.asarray(b1)
     b = jnp.asarray(b2)
-    out = sgm_match_batch(a, b, dmins, D, params)
-    np.asarray(out['disp'])
+
+    def run():
+        return mgm_binary_match_batch(a, b, dmins, D, ext, ext, ext,
+                                      jnp.full((B,), D, jnp.int32), params)
+    np.asarray(run()['disp'])
     n_iter = 10
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = sgm_match_batch(a, b, dmins, D, params)
+        out = run()
     np.asarray(out['disp'])
     dt = (time.perf_counter() - t0) / n_iter
     return B / dt

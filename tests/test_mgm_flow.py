@@ -1,0 +1,105 @@
+"""Tests for the binary-faithful mgm flow (ops/mgm_flow.py).
+
+The accuracy bound is measured against the ONLY committed output of the
+reference's actual mgm binary: the fixture tile disparity
+(tests/data/input_triangulation/pair_1, produced by s2p with default
+matcher settings).  tools/harness_match.py is the full instrument; the
+test pins the headline numbers so a semantics regression fails loudly.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from s2p_tpu.ops import mgm_flow as mf
+
+
+def _synthetic_pair(H=96, W=128, d=4.0, seed=0):
+    rng = np.random.RandomState(seed)
+    im2 = rng.rand(H, W).astype(np.float32) * 200
+    # smooth it a little so census windows carry structure
+    im2 = (im2 + np.roll(im2, 1, 0) + np.roll(im2, 1, 1)) / 3
+    xs = np.arange(W, dtype=np.float32)
+    im1 = np.stack([np.interp(xs + d, xs, row) for row in im2])
+    return im1.astype(np.float32), im2
+
+
+def test_flow_recovers_constant_shift():
+    im1, im2 = _synthetic_pair(d=4.0)
+    disp, conf = mf.mgm_binary_match(im1, im2, -1, 9, mf.MgmVariant())
+    disp = np.asarray(disp)
+    inner = np.isfinite(disp[8:-8, 8:-8])
+    err = np.abs(disp[8:-8, 8:-8] - 4.0)[inner]
+    assert inner.mean() > 0.8
+    assert (err < 1.0).mean() > 0.95
+    assert np.asarray(conf).shape == disp.shape
+
+
+def test_batched_padded_equals_unpadded_bitwise():
+    """The padding-exactness construction: a tile embedded in a padded
+    bucket must produce the identical map (module docstring contract)."""
+    im1, im2 = _synthetic_pair(H=70, W=90, d=3.0)
+    im1[:5] = np.nan
+    im2[:, -7:] = np.nan
+    v = mf.MgmVariant()
+    single = np.asarray(mf.mgm_binary_match(im1, im2, -2, 7, v)[0])
+    Hp, Wp, Dp = 128, 128, 16
+    b1 = np.full((2, Hp, Wp), np.nan, np.float32)
+    b2 = np.full((2, Hp, Wp), np.nan, np.float32)
+    b1[:, :70, :90] = im1
+    b2[:, :70, :90] = im2
+    out = mf.mgm_binary_match_batch(
+        jnp.asarray(b1), jnp.asarray(b2), [-2, -2], Dp,
+        [70, 70], [90, 90], [90, 90], [10, 10], v)
+    for k in range(2):
+        batched = np.asarray(out['disp'])[k, :70, :90]
+        same = (batched == single) | (np.isnan(batched) & np.isnan(single))
+        assert same.all()
+
+
+def test_lr_nan_survival_and_landing():
+    """leftright_test semantics: out-of-image landing dies, NaN at the
+    landing survives, |dL+dR|>tau dies."""
+    dL = jnp.asarray([[5.0, 0.0, 0.0, -1.0]])
+    dR = jnp.asarray([[0.0, jnp.nan, -3.0, 0.0]])
+    v = mf.MgmVariant(lr_tau=1.0)
+    out = np.asarray(mf._lr_kill(dL, dR, v, 4))
+    assert np.isnan(out[0, 0])          # lands at x=0+5: outside
+    assert out[0, 1] == 0.0             # lands on NaN: survives
+    assert np.isnan(out[0, 2])          # |0 + (-3)| > 1: dies
+    assert np.isnan(out[0, 3])          # lands at x=2: |-1 + (-3)| > 1
+
+
+def test_median_discards_nan_and_does_not_fill():
+    x = jnp.asarray([[1.0, 2.0, 3.0],
+                     [4.0, jnp.nan, 6.0],
+                     [7.0, 8.0, 9.0]])
+    v = mf.MgmVariant()
+    out = np.asarray(mf._median3x3(x, v))
+    assert np.isnan(out[1, 1])          # no fill at NaN centers
+    # corner (0,0): window values {1,2,4} (center NaN discarded from the
+    # (1,1) tap), n=3 -> median 2
+    assert out[0, 0] == 2.0
+
+
+def test_fixture_parity_bounds(ref_data):
+    """Headline parity vs the mgm binary's committed fixture disparity:
+    the measured round-3 numbers with a safety margin (harness series of
+    2026-08-20: rms 0.466, >1px 0.268%, validity IoU 0.9811)."""
+    from s2p_tpu.geo import geotiff
+    from s2p_tpu.ops.homography import image_apply_homography
+    fx = ref_data('input_triangulation/pair_1')
+    ref = geotiff.read_with_nans(fx + '/rectified_ref.tif')
+    gold = geotiff.read_with_nans(fx + '/rectified_disp.tif')
+    H_sec = np.loadtxt(fx + '/H_sec.txt').reshape(3, 3)
+    img2 = geotiff.read_with_nans(ref_data('input_pair/img_02.tif'))
+    sec = np.asarray(image_apply_homography(img2, H_sec, ref.shape[1],
+                                            ref.shape[0]))
+    disp = np.asarray(mf.mgm_binary_match(ref, sec, -44, 33,
+                                          mf.MgmVariant())[0])
+    both = np.isfinite(disp) & np.isfinite(gold)
+    d = np.abs(disp - gold)[both]
+    iou = both.sum() / (np.isfinite(disp) | np.isfinite(gold)).sum()
+    assert np.sqrt((d ** 2).mean()) < 0.55
+    assert (d > 1).mean() < 0.004
+    assert iou > 0.975
