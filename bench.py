@@ -16,6 +16,7 @@ that documented budget bound.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -128,6 +129,68 @@ def bench_stage5_batch(B=8):
     return B / dt
 
 
+_SCALING_WORKER = r"""
+import json, os, sys, time
+os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
+                           + ' --xla_force_host_platform_device_count=8')
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp
+import numpy as np
+sys.path.insert(0, '/root/repo')
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from s2p_tpu.core.matching import mgm_variant_from_cfg
+from s2p_tpu.config import Config
+from s2p_tpu.ops.mgm_flow import mgm_binary_match_batch
+
+variant = mgm_variant_from_cfg(Config(roi={'x': 0, 'y': 0, 'w': 1, 'h': 1}))
+B, H, W, D = 8, 256, 320, 48
+rng = np.random.RandomState(0)
+b1 = rng.rand(B, H, W).astype(np.float32) * 1000
+b2 = np.roll(b1, 5, axis=2) + rng.rand(B, H, W).astype(np.float32)
+ints = jnp.full((B,), 1, jnp.int32)
+
+
+def run(n_dev):
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ('tiles',))
+    sh = NamedSharding(mesh, P('tiles'))
+    s1 = NamedSharding(mesh, P('tiles'))
+    a = jax.device_put(jnp.asarray(b1), sh)
+    b = jax.device_put(jnp.asarray(b2), sh)
+    args = [jax.device_put(v, s1) for v in
+            (jnp.full((B,), -24, jnp.int32), ints * (H - 8), ints * (W - 8),
+             ints * (W - 8), ints * D)]
+
+    def step():
+        return mgm_binary_match_batch(a, b, args[0], D, args[1], args[2],
+                                      args[3], args[4], variant)
+    np.asarray(step()['disp'])
+    n_iter = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = step()
+    np.asarray(out['disp'])
+    return B / ((time.perf_counter() - t0) / n_iter)
+
+
+t1 = run(1)
+t8 = run(8)
+print(json.dumps({'tiles_per_s_1dev': t1, 'tiles_per_s_8dev': t8}))
+"""
+
+
+def bench_scaling_virtual_mesh():
+    """Stage-4 tiles/s at 1 vs 8 (virtual CPU) devices, in a subprocess so
+    the TPU process keeps its backend.  Virtual host devices share the
+    machine's cores, so the parallel efficiency measured here is a LOWER
+    bound for real chips (BASELINE.md target: >= 80% linear 1 -> N)."""
+    import subprocess
+    out = subprocess.run([sys.executable, '-c', _SCALING_WORKER],
+                         capture_output=True, timeout=1200)
+    line = out.stdout.decode().strip().splitlines()[-1]
+    return json.loads(line)
+
+
 def main():
     from s2p_tpu import device
     device.configure()
@@ -146,6 +209,21 @@ def main():
                           'tile': '448x512'}), file=sys.stderr)
     except Exception as e:  # secondary metrics must never break the bench
         print(json.dumps({'metric': 'pipeline_bench_error',
+                          'error': str(e)[:200]}), file=sys.stderr)
+
+    try:
+        sc = bench_scaling_virtual_mesh()
+        ncore = os.cpu_count() or 1
+        speedup = sc['tiles_per_s_8dev'] / sc['tiles_per_s_1dev']
+        print(json.dumps({'metric': 'stage4_scaling_1_to_8_vdev',
+                          'speedup': round(speedup, 3),
+                          'tiles_per_s_1dev': round(sc['tiles_per_s_1dev'], 3),
+                          'tiles_per_s_8dev': round(sc['tiles_per_s_8dev'], 3),
+                          'host_cores': ncore,
+                          'note': 'virtual CPU mesh: lower bound for chips'}),
+              file=sys.stderr)
+    except Exception as e:
+        print(json.dumps({'metric': 'scaling_bench_error',
                           'error': str(e)[:200]}), file=sys.stderr)
 
     baseline = 800 * 800 * 64 / 600.0 / 1e6   # reference per-tile budget bound

@@ -241,7 +241,9 @@ def disp_to_xyz_batch(jobs, out_crs=None):
     for idx, (dev, meta) in enumerate(preps):
         buckets.setdefault(dev['dx'].shape, []).append(idx)
 
-    n_dev = len(jax.devices())
+    # per-process batches shard over LOCAL devices only (each process
+    # triangulates its own tile partition in a multi-host run)
+    n_dev = jax.local_device_count()
     for shape, idxs in buckets.items():
         n = len(idxs)
         n_pad = -(-n // n_dev) * n_dev
@@ -261,7 +263,7 @@ def disp_to_xyz_batch(jobs, out_crs=None):
         if n_dev > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel.mesh import TileMesh
-            mesh = TileMesh()
+            mesh = TileMesh(devices=jax.local_devices())
             sh = NamedSharding(mesh.mesh, P(mesh.axis))
             args = jax.tree_util.tree_map(
                 lambda a: jax.device_put(a, sh), args)

@@ -76,7 +76,10 @@ def utm_forward(lon, lat, zone, south):
     # complex Karney series: xi + i*eta = zeta + sum_j alpha_j sin(2j zeta)
     # with zeta = xi' + i*eta'; sin(2j zeta) via powers of exp(2i zeta)
     # (one complex exp instead of 24 transcendental arrays)
-    zeta = xi_p + 1j * eta_p
+    # NaN inputs (invalid points) propagate without divide warnings
+    zeta = np.where(np.isfinite(xi_p) & np.isfinite(eta_p),
+                    xi_p + 1j * eta_p, 0.0 + 0.0j)
+    nanmask = ~(np.isfinite(xi_p) & np.isfinite(eta_p))
     e1 = np.exp(2j * zeta)
     i1 = 1.0 / e1
     ej, ij_ = e1, i1
@@ -86,8 +89,8 @@ def utm_forward(lon, lat, zone, south):
         ij_ = ij_ * i1
         corr = corr + _ALPHA[j_] * ((ej - ij_) / 2j)
     z = zeta + corr
-    xi = z.real
-    eta = z.imag
+    xi = np.where(nanmask, np.nan, z.real)
+    eta = np.where(nanmask, np.nan, z.imag)
 
     E = _E0 + _K0 * _A_RECT * eta
     Nn = _K0 * _A_RECT * xi

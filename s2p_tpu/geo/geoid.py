@@ -150,12 +150,17 @@ def geoid_above_ellipsoid(lat, lon, strict=False):
             _warned = True
         lats, lons, vals = _COARSE_LAT, _COARSE_LON, _COARSE
 
-    # bilinear interpolation on the (lat-descending, lon-periodic) grid
+    # bilinear interpolation on the (lat-descending, lon-periodic) grid;
+    # NaN coordinates (invalid triangulated points) pass through as NaN
+    # without tripping integer-cast warnings
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    bad = ~(np.isfinite(lat) & np.isfinite(lon))
     nrows, ncols = vals.shape
     dlat = lats[0] - lats[1]
     dlon = lons[1] - lons[0]
-    fi = (lats[0] - lat) / dlat
-    fj = (lon - lons[0]) / dlon
+    fi = np.where(bad, 0.0, (lats[0] - lat) / dlat)
+    fj = np.where(bad, 0.0, (lon - lons[0]) / dlon)
     i0 = np.clip(np.floor(fi).astype(int), 0, nrows - 2)
     j0 = np.floor(fj).astype(int) % ncols
     j1 = (j0 + 1) % ncols
@@ -165,5 +170,6 @@ def geoid_above_ellipsoid(lat, lon, strict=False):
     v01 = vals[i0, j1]
     v10 = vals[i0 + 1, j0]
     v11 = vals[i0 + 1, j1]
-    return (v00 * (1 - wi) * (1 - wj) + v01 * (1 - wi) * wj
-            + v10 * wi * (1 - wj) + v11 * wi * wj)
+    out = (v00 * (1 - wi) * (1 - wj) + v01 * (1 - wi) * wj
+           + v10 * wi * (1 - wj) + v11 * wi * wj)
+    return np.where(bad, np.nan, out)

@@ -162,6 +162,13 @@ def pointing_correction(cfg: Config, tile, i):
         np.savetxt(os.path.join(out_dir, 'sift_matches.txt'), m, fmt='%9.3f')
         np.savetxt(os.path.join(out_dir, 'center_keypts_sec.txt'),
                    np.mean(m[:, 2:], 0), fmt='%9.3f')
+        if cfg.debug:
+            # debug-mode SIFT match plot (reference __init__.py:78-82)
+            from .core import visualisation
+            visualisation.plot_matches(
+                _image(img1.img), _image(img2.img), img1.rpcm, img2.rpcm, m,
+                os.path.join(out_dir, 'sift_matches_pointing.png'),
+                x, y, w, h)
 
 
 def global_pointing_correction(cfg: Config, tiles):
@@ -273,8 +280,15 @@ def stereo_matching_all(cfg: Config, tiles_pairs, timeout=600):
     """
     algo = cfg.matching_algorithm
     if algo != 'mgm':
+        # matcher-specific worker throttle (reference __init__.py:586-589:
+        # matchers are memory-hungry, so their fan-out has its own knob);
+        # default 1 because the per-tile engines already saturate the
+        # accelerator and concurrent jit compilation through the TPU
+        # tunnel is unreliable
+        nb = cfg.max_processes_stereo_matching or 1
         runner.launch_calls(lambda t, i: stereo_matching(cfg, t, i),
-                            tiles_pairs, 1, timeout=timeout, debug=cfg.debug)
+                            tiles_pairs, nb, timeout=timeout,
+                            debug=cfg.debug)
         return
 
     import jax
@@ -301,7 +315,11 @@ def stereo_matching_all(cfg: Config, tiles_pairs, timeout=600):
                          dmin=int(dmin), dmax=int(dmax),
                          key=(Hp, Wp, Dp)))
 
-    n_dev = len(jax.devices())
+    # each process matches ITS OWN tile partition: shard batches over the
+    # process-LOCAL devices only (a global mesh would require every process
+    # to feed identical data -- the multi-host contract here is share-
+    # nothing tiles + files, SURVEY.md 2.4)
+    n_dev = jax.local_device_count()
     buckets = {}
     for j in jobs:
         buckets.setdefault(j['key'], []).append(j)
@@ -326,7 +344,7 @@ def stereo_matching_all(cfg: Config, tiles_pairs, timeout=600):
             d_b[k] = j['dmax'] - j['dmin'] + 1
         if n_dev > 1:
             from .parallel.mesh import TileMesh
-            shard = TileMesh().shard()
+            shard = TileMesh(devices=jax.local_devices()).shard()
             b1 = jax.device_put(jnp.asarray(b1), shard)
             b2 = jax.device_put(jnp.asarray(b2), shard)
             s1 = NamedSharding(shard.mesh, P('tiles'))
@@ -671,28 +689,43 @@ def main(user_cfg, start_from=0):
     """Run the full pipeline (reference __init__.py:528-646)."""
     from . import device
     device.configure()
+    from .parallel import distributed as dist
+    dist.init()     # no-op unless a multi-process run is configured
     cfg = build_cfg(user_cfg)
-    os.makedirs(cfg.out_dir, exist_ok=True)
-    cfg.dump_json(os.path.join(cfg.out_dir, 'config.json'))
 
+    # initialization writes (out_dir tree, config snapshot, per-tile masks
+    # and jsons, tiles.txt) happen ONCE, on the primary; the other
+    # processes wait at the barrier and reload the tile list from
+    # tiles.txt -- concurrent identical writes to a shared filesystem are
+    # not atomic and must not race
     nb_workers = cfg.max_processes or min(8, os.cpu_count() or 1)
     tw, th = tiling.adjust_tile_size(cfg)
     tiles_txt = os.path.join(cfg.out_dir, 'tiles.txt')
-    tiles = tiling.tiles_full_info(cfg, tw, th, tiles_txt, create_masks=True,
-                                   runner=runner.PoolRunner(nb_workers,
-                                                            cfg.timeout))
-    if not tiles:
-        raise RuntimeError(
-            'the ROI is not seen in two images or is totally masked')
-
-    if start_from > 0:
-        assert os.path.exists(tiles_txt), (
-            f'start_from set to {start_from} but tiles.txt not found in '
-            f'{cfg.out_dir!r}')
-    else:
-        with open(tiles_txt, 'w') as f:
-            for t in tiles:
-                print(t['json'], file=f)
+    if dist.is_primary():
+        os.makedirs(cfg.out_dir, exist_ok=True)
+        cfg.dump_json(os.path.join(cfg.out_dir, 'config.json'))
+        tiles = tiling.tiles_full_info(cfg, tw, th, tiles_txt,
+                                       create_masks=True,
+                                       runner=runner.PoolRunner(nb_workers,
+                                                                cfg.timeout))
+        if not tiles:
+            raise RuntimeError(
+                'the ROI is not seen in two images or is totally masked')
+        if start_from > 0:
+            assert os.path.exists(tiles_txt), (
+                f'start_from set to {start_from} but tiles.txt not found in '
+                f'{cfg.out_dir!r}')
+        else:
+            with open(tiles_txt, 'w') as f:
+                for t in tiles:
+                    print(t['json'], file=f)
+    dist.barrier('initialization')
+    if not dist.is_primary():
+        tiles = tiling.tiles_full_info(cfg, tw, th, tiles_txt,
+                                       create_masks=False)
+        if not tiles:
+            raise RuntimeError(
+                'the ROI is not seen in two images or is totally masked')
 
     n = len(cfg.images)
     tiles_pairs = [(t, i) for i in range(1, n) for t in tiles]

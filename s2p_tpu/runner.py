@@ -222,15 +222,17 @@ class SerialRunner:
 
 
 class PoolRunner:
-    """Runner facade over launch_calls."""
+    """Runner facade over launch_calls: per-call EXECUTION deadlines and
+    cooperative cancellation, same semantics as the stage fan-out."""
 
     def __init__(self, nb_workers=None, timeout=600):
         self.nb_workers = nb_workers
         self.timeout = timeout
 
     def map(self, fun, items):
-        items = list(items)
+        # map semantics: fun(item) even for tuple items -- wrap each item
+        # in a 1-tuple since launch_calls unpacks tuple work items as *args
+        items = [(i,) for i in items]
         nb = self.nb_workers or min(8, max(1, len(items)))
-        with cf.ThreadPoolExecutor(nb) as pool:
-            futs = [pool.submit(fun, i) for i in items]
-            return [f.result(timeout=self.timeout) for f in futs]
+        return launch_calls(fun, items, nb, timeout=self.timeout,
+                            tilewise=False)

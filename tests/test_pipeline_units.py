@@ -112,3 +112,22 @@ def test_max_disparity_range_error_from_cfg():
     im = np.random.rand(32, 64).astype(np.float32)
     with pytest.raises(matching.MaxDisparityRangeError):
         matching.compute_disparity_map(cfg, im, im, -10, 10)
+
+
+def test_debug_plot_matches_writes_png(tmp_path, ref_data):
+    """Debug-mode SIFT match visualisation (reference __init__.py:78-82)."""
+    from s2p_tpu.core import visualisation
+    from s2p_tpu.geo import geotiff, rpc_io
+
+    p1 = ref_data('input_pair/img_01.tif')
+    p2 = ref_data('input_pair/img_02.tif')
+    im1 = geotiff.read(p1).astype(np.float32)
+    im2 = geotiff.read(p2).astype(np.float32)
+    rpc1 = rpc_io.rpc_from_geotiff(p1)
+    rpc2 = rpc_io.rpc_from_geotiff(p2)
+    m = np.array([[200.0, 200.0, 205.0, 201.0],
+                  [400.0, 380.0, 404.0, 382.0]])
+    out = tmp_path / 'sift_matches_pointing.png'
+    visualisation.plot_matches(im1, im2, rpc1, rpc2, m, str(out),
+                               150, 150, 300, 300)
+    assert out.exists() and out.stat().st_size > 0
