@@ -331,18 +331,10 @@ def height_map_to_xyz(heights, rpc, off_x=0, off_y=0, out_crs=None):
     return np.stack([lon, lat, h_map], axis=-1)
 
 
-def height_map(x, y, w, h, rpc1, rpc2, H1, H2, disp, mask, mask_orig, A=None):
-    """Altitude map resampled onto the original reference image grid
-    (reference triangulation.py:346-389)."""
+def height_map_resample(hmap, x, y, w, h, H1):
+    """Resample a rectified-frame altitude grid onto the original reference
+    image grid (the host half of :func:`height_map`)."""
     from scipy import ndimage
-
-    p = 1  # padding to avoid border effects when resampling
-    xyz, err = disp_to_xyz(rpc1, rpc2, H1, H2, disp, mask,
-                           img_bbx=(x - p, x + w + 2 * p, y - p, y + h + 2 * p),
-                           mask_orig=np.pad(np.asarray(mask_orig), p,
-                                            constant_values=1),
-                           A=A, out_crs=None)
-    hmap = xyz[:, :, 2]
 
     T = np.array([[1, 0, x], [0, 1, y], [0, 0, 1]], dtype=np.float64)
     H = np.asarray(H1, dtype=np.float64) @ T
@@ -354,3 +346,28 @@ def height_map(x, y, w, h, rpc1, rpc2, H1, H2, disp, mask, mask_orig, A=None):
         i = ndimage.binary_dilation(i, structure=np.ones((3, 3)))
         out[i] = np.nan
     return out
+
+
+def height_map_job(x, y, w, h, rpc1, rpc2, H1, H2, disp, mask, mask_orig,
+                   A=None):
+    """The disp_to_xyz job dict of one height-map tile (shared by the
+    serial and batched stage-5a drivers); p=1 padding avoids border
+    effects in the resample."""
+    p = 1
+    return dict(rpc1=rpc1, rpc2=rpc2, H1=H1, H2=H2, disp=disp,
+                mask_rect=mask,
+                img_bbx=(x - p, x + w + 2 * p, y - p, y + h + 2 * p),
+                mask_orig=np.pad(np.asarray(mask_orig), p,
+                                 constant_values=1),
+                A=A)
+
+
+def height_map(x, y, w, h, rpc1, rpc2, H1, H2, disp, mask, mask_orig, A=None):
+    """Altitude map resampled onto the original reference image grid
+    (reference triangulation.py:346-389)."""
+    j = height_map_job(x, y, w, h, rpc1, rpc2, H1, H2, disp, mask,
+                       mask_orig, A)
+    xyz, err = disp_to_xyz(j['rpc1'], j['rpc2'], j['H1'], j['H2'],
+                           j['disp'], j['mask_rect'], img_bbx=j['img_bbx'],
+                           mask_orig=j['mask_orig'], A=j['A'], out_crs=None)
+    return height_map_resample(xyz[:, :, 2], x, y, w, h, H1)

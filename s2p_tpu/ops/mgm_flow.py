@@ -258,6 +258,14 @@ def _mgm_one_side(im1, im2, disp_min, D: int, v: MgmVariant,
                   h1=None, w1=None, w2=None, p2_map=None, d_true=None):
     cost = census_cost_raw(im1, im2, disp_min, D, v.census_win, h1, w1, w2,
                            d_true)
+    # materialization point: when the L and R sides compile into ONE
+    # program (the vmapped batch entry), XLA:TPU mis-fuses the shared
+    # census producers with the two different gather consumers and the
+    # first side's WTA comes out wrong at >=~350px tiles (measured
+    # 2026-08-20: 6% of pixels off by >=1px, absmax = the full range,
+    # deterministic, CPU unaffected).  The barrier restores bitwise
+    # equality with the single-tile program at zero measurable cost.
+    cost = jax.lax.optimization_barrier(cost)
     S, votes = _aggregate_flow(cost, v, p2_map)
     disp, d_int = _wta_refine(S, disp_min, v)
     if h1 is not None or w1 is not None:
@@ -470,6 +478,7 @@ def _one_side_frac(im1, im2, disp_min, D: int, sd: int, v: MgmVariant,
                    h1, w1, w2, d_true, lo_map, hi_map, p2_map=None):
     cost = _census_cost_frac(im1, im2, disp_min, D, sd, v.census_win,
                              h1, w1, w2, d_true, lo_map, hi_map)
+    cost = jax.lax.optimization_barrier(cost)   # cf. _mgm_one_side
     S, votes = _aggregate_flow(cost, v, p2_map)
     disp_idx, d_int = _wta_refine(S, 0, v)      # index units
     disp = jnp.asarray(disp_min, jnp.float32) + disp_idx / sd

@@ -499,6 +499,48 @@ def disparity_to_height(cfg: Config, tile, i):
                   hmap.astype(np.float32), nodata=float('nan'))
 
 
+def disparity_to_height_all(cfg: Config, tiles_pairs, timeout=600):
+    """Stage 5a driven as the batched mesh engine: every (tile, pair)
+    triangulates in one vmapped device program per shape bucket
+    (disp_to_xyz_batch), then the per-tile grid resample fans out on
+    threads -- the triplet analogue of :func:`disparity_to_ply_all`."""
+    jobs, live = [], []
+    for tile, i in tiles_pairs:
+        out_dir = os.path.join(tile['dir'], f'pair_{i}')
+        x, y, w, h = tile['coordinates']
+        try:
+            job = triangulation.height_map_job(
+                x, y, w, h, cfg.images[0].rpcm, cfg.images[i].rpcm,
+                np.loadtxt(os.path.join(out_dir, 'H_ref.txt')),
+                np.loadtxt(os.path.join(out_dir, 'H_sec.txt')),
+                geotiff.read(os.path.join(out_dir, 'rectified_disp.tif')),
+                geotiff.read_png(os.path.join(out_dir,
+                                              'rectified_mask.png')),
+                geotiff.read_png(os.path.join(tile['dir'], 'mask.png')),
+                A=np.loadtxt(os.path.join(
+                    cfg.out_dir, f'global_pointing_pair_{i}.txt')))
+        except (OSError, ValueError):
+            continue     # missing tile outputs tolerated (parity)
+        jobs.append(job)
+        live.append((tile, i))
+    if not jobs:
+        return
+    results = triangulation.disp_to_xyz_batch(jobs, out_crs=None)
+
+    def finish(item, res):
+        (tile, i), job = item
+        xyz, err = res
+        x, y, w, h = tile['coordinates']
+        hmap = triangulation.height_map_resample(xyz[:, :, 2], x, y, w, h,
+                                                 job['H1'])
+        geotiff.write(os.path.join(tile['dir'], f'pair_{i}',
+                                   'height_map.tif'),
+                      hmap.astype(np.float32), nodata=float('nan'))
+
+    runner.launch_calls(finish, list(zip(zip(live, jobs), results)), None,
+                        tilewise=False, timeout=timeout)
+
+
 def mean_heights(cfg: Config, tile):
     """Stage 5b (reference __init__.py:321-340)."""
     w, h = tile['coordinates'][2:]
@@ -766,9 +808,7 @@ def main(user_cfg, start_from=0):
     if start_from <= 5:
         if n > 2:
             with _stage('5) height maps, offsets, fusion, point clouds...'):
-                runner.launch_calls(
-                    lambda t, i: disparity_to_height(cfg, t, i),
-                    my_tiles_pairs, 1, timeout=timeout, debug=cfg.debug)
+                disparity_to_height_all(cfg, my_tiles_pairs, timeout=timeout)
                 print('5b) computing local pairwise height offsets...')
                 runner.launch_calls(lambda t: mean_heights(cfg, t), my_tiles,
                                     nb_workers, timeout=timeout,
