@@ -129,6 +129,46 @@ def bench_stage5_batch(B=8):
     return B / dt
 
 
+def bench_stage1_pointing(n_iter=3):
+    """Stage-1 pointing (device SIFT x2 + epipolar matching + RANSAC +
+    median translation) tile-pairs/s on the reference scene's tile size."""
+    from s2p_tpu.core import pointing
+    from s2p_tpu.geo import geotiff, rpc_io
+
+    p1 = '/root/reference/tests/data/input_pair/img_01.tif'
+    p2 = '/root/reference/tests/data/input_pair/img_02.tif'
+    im1 = geotiff.read(p1).astype(np.float32)
+    im2 = geotiff.read(p2).astype(np.float32)
+    r1, r2 = rpc_io.rpc_from_geotiff(p1), rpc_io.rpc_from_geotiff(p2)
+
+    def one():
+        return pointing.compute_correction(im1, im2, r1, r2, 150, 150, 350,
+                                           350, 'relative', 0.6, 10.0, 5)
+    one()                       # warm (compiles the SIFT atlas programs)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        A, m = one()
+    dt = (time.perf_counter() - t0) / n_iter
+    return 1.0 / dt
+
+
+def bench_stage3_warp(n_iter=5):
+    """Stage-3 rectification warps (quintic B-spline, both crops) tiles/s
+    on the reference tile shape."""
+    from s2p_tpu.ops.homography import image_apply_homographies
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(1000, 1000).astype(np.float32) * 200
+    H = np.array([[1.0, 0.02, -30.0], [0.01, 1.0, -20.0], [0, 0, 1.0]])
+    jobs = [(img, H, 448, 512), (img, H @ np.diag([1.0, 1.0, 1.0]), 448, 512)]
+    image_apply_homographies(jobs)     # warm
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        image_apply_homographies(jobs)
+    dt = (time.perf_counter() - t0) / n_iter
+    return 1.0 / dt
+
+
 _SCALING_WORKER = r"""
 import json, os, sys, time
 os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
@@ -209,6 +249,19 @@ def main():
                           'tile': '448x512'}), file=sys.stderr)
     except Exception as e:  # secondary metrics must never break the bench
         print(json.dumps({'metric': 'pipeline_bench_error',
+                          'error': str(e)[:200]}), file=sys.stderr)
+
+    try:
+        t1 = bench_stage1_pointing()
+        t3 = bench_stage3_warp()
+        print(json.dumps({'metric': 'stage1_pointing_tilepairs_per_s',
+                          'value': round(t1, 3), 'unit': 'tile-pairs/s',
+                          'tile': '350x350'}), file=sys.stderr)
+        print(json.dumps({'metric': 'stage3_warp_tiles_per_s',
+                          'value': round(t3, 3), 'unit': 'tiles/s',
+                          'tile': '448x512x2warps'}), file=sys.stderr)
+    except Exception as e:
+        print(json.dumps({'metric': 'stage13_bench_error',
                           'error': str(e)[:200]}), file=sys.stderr)
 
     try:

@@ -52,6 +52,7 @@ from .census import census_transform
 # rows per grid step: amortizes grid-step overhead; must divide padded H/W
 _ROW_BLOCK = 8
 _VALID_BIT = 24          # census uses bits [0, 24) for win <= 5
+_PAD_BIT = 25            # reference-side padding marker (mgm_flow batch)
 
 
 def _popcount(v):
@@ -71,9 +72,18 @@ def _minconv(L, p1, p2):
     return jnp.minimum(jnp.minimum(L, jnp.minimum(lm, lp) + p1), m + p2) - m
 
 
-def _scan_kernel(sig1_ref, sig2_ref, p2_ref, S_ref, votes_ref, *carries,
+def _scan_kernel(*refs,
                  D, W, G, n_steps, disp_min, dirs, p1, invalid_cost,
-                 sig_mask, reverse, horizontal, pad):
+                 sig_mask, reverse, horizontal, pad, sub_cost_mult=0.0,
+                 has_allowed=False):
+    if has_allowed:
+        # (D, 1) int32 per-tile candidate mask (the bucket's disparity-axis
+        # padding and the tile's true range; mgm_flow batch contract)
+        sig1_ref, sig2_ref, p2_ref, allowed_ref, S_ref, votes_ref, \
+            *carries = refs
+    else:
+        sig1_ref, sig2_ref, p2_ref, S_ref, votes_ref, *carries = refs
+        allowed_ref = None
     """One grid step: G scan rows through all ``dirs`` DP recursions.
 
     For vertical passes, W is the image width (lane axis = x, the disparity
@@ -89,9 +99,12 @@ def _scan_kernel(sig1_ref, sig2_ref, p2_ref, S_ref, votes_ref, *carries,
     p1 = jnp.asarray(p1, jnp.float32)
     inv = jnp.asarray(invalid_cost, jnp.float32)
 
+    allowed = None
+    if allowed_ref is not None:
+        allowed = jnp.broadcast_to(allowed_ref[:] == 1, (D, W))
     if not horizontal:
-        inb = ((x_ids + disp_min + k_ids >= 0)
-               & (x_ids + disp_min + k_ids < W))
+        x2 = x_ids + disp_min + k_ids
+        inb = (x2 >= 0) & (x2 < W)
     else:
         # one sublane-aligned window per grid step covers all G row slices:
         # rows block*G + disp_min + pad + [0, D + G); ``pad`` is chosen by
@@ -128,7 +141,14 @@ def _scan_kernel(sig1_ref, sig2_ref, p2_ref, S_ref, votes_ref, *carries,
         v2h = (s2b >> _VALID_BIT) & np.uint32(1)           # (D, W)
         ham = _popcount((s1 ^ s2b) & sig_mask).astype(jnp.float32)
         ok = (v1 == 1) & (v2h == 1) & inb_r
+        if allowed is not None:
+            ok = ok & allowed
         cost = jnp.where(ok, ham, inv)
+        # reference-side padding pixels (sig1 _PAD_BIT) cost 0 at every
+        # candidate so the carry stays in the fresh-border state until
+        # the first real pixel (mgm_flow padding-exactness contract)
+        in_pad = ((s1 >> _PAD_BIT) & np.uint32(1)) == 1
+        cost = jnp.where(in_pad, 0.0, cost)
 
         # only the very first scan row of the image lacks a predecessor
         first = (pid == 0) if row == first_local else None
@@ -166,12 +186,16 @@ def _scan_kernel(sig1_ref, sig2_ref, p2_ref, S_ref, votes_ref, *carries,
                          keepdims=True)
             votes_ref[d_idx, pl.ds(row, 1), :] = am
 
+        if sub_cost_mult:
+            # the MGM energy-overcount fix S = sum_r L_r - (n-1)*c
+            # (TSGM_FIX_OVERCOUNT=1), folded into one pass
+            Ssum = Ssum - jnp.float32(sub_cost_mult) * cost
         S_ref[pl.ds(row, 1), :, :] = Ssum.reshape(1, D, W)
 
 
 def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, p1,
                       invalid_cost, nbits, reverse, horizontal,
-                      interpret=False):
+                      interpret=False, sub_cost_mult=0.0, allowed=None):
     """All same-orientation directions in one streaming pass.
 
     Args:
@@ -201,7 +225,8 @@ def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, p1,
     kernel = functools.partial(
         _scan_kernel, D=D, W=W, G=G, n_steps=n_steps, disp_min=disp_min,
         dirs=tuple(dirs), p1=p1, invalid_cost=invalid_cost,
-        sig_mask=sig_mask, reverse=reverse, horizontal=horizontal, pad=pad)
+        sig_mask=sig_mask, reverse=reverse, horizontal=horizontal, pad=pad,
+        sub_cost_mult=sub_cost_mult, has_allowed=allowed is not None)
 
     if horizontal:
         sig2_spec = pl.BlockSpec(memory_space=pltpu.VMEM)   # full array
@@ -209,16 +234,22 @@ def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, p1,
         sig2_spec = pl.BlockSpec((G, W), lambda i: (idx(i), 0),
                                  memory_space=pltpu.VMEM)
 
+    in_specs = [
+        pl.BlockSpec((G, W), lambda i: (idx(i), 0),
+                     memory_space=pltpu.VMEM),
+        sig2_spec,
+        pl.BlockSpec((G, W), lambda i: (idx(i), 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [sig1, sig2, p2map]
+    if allowed is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(allowed)
+
     return pl.pallas_call(
         kernel,
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((G, W), lambda i: (idx(i), 0),
-                         memory_space=pltpu.VMEM),
-            sig2_spec,
-            pl.BlockSpec((G, W), lambda i: (idx(i), 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((G, D, W), lambda i: (idx(i), 0, 0),
                          memory_space=pltpu.VMEM),
@@ -232,10 +263,11 @@ def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, p1,
         scratch_shapes=[pltpu.VMEM((D, W), jnp.float32)
                         for _ in range(n_dirs)],
         interpret=interpret,
-    )(sig1, sig2, p2map)
+    )(*operands)
 
 
-def _wta_kernel(*refs, D, W, G, disp_min, subpix, n_parts):
+def _wta_kernel(*refs, D, W, G, disp_min, subpix, n_parts,
+                big_guard=None, with_dr=True, emit_offset=False):
     """Fused WTA + subpixel + right-reference disparity, one pass over S.
 
     Replaces the XLA gather chain (argmin, take_along_axis x3, the
@@ -264,6 +296,10 @@ def _wta_kernel(*refs, D, W, G, disp_min, subpix, n_parts):
         c0 = jnp.where(jnp.isfinite(c0), c0, guard)
         c2 = jnp.where(jnp.isfinite(c2), c2, guard)
         interior = (d_int > 0) & (d_int < D - 1)
+        if big_guard is not None:
+            # mgm_flow semantics: no refinement against out-of-range
+            # (BIG-cost) side candidates
+            interior = interior & (c0 < big_guard) & (c2 < big_guard)
         if subpix == 'vfit':
             den = 2.0 * (jnp.maximum(c0, c2) - c1)
             off = (c0 - c2) / jnp.maximum(den, 1e-9)
@@ -284,10 +320,22 @@ def _wta_kernel(*refs, D, W, G, disp_min, subpix, n_parts):
         d_int = jnp.min(jnp.where(S == mn, k_ids, D), axis=0, keepdims=True)
         onehot = k_ids == d_int
         off = subpixel(S, onehot, d_int)
-        disp_ref[pl.ds(row, 1), :] = (disp_min + d_int.astype(jnp.float32)
-                                      + off)
+        if emit_offset:
+            # the caller composes (base + d_int) + off so the traced-base
+            # batch entry rounds bitwise like the static-base single entry
+            disp_row = off
+        else:
+            disp_row = disp_min + d_int.astype(jnp.float32) + off
+        if big_guard is not None:
+            # no in-range candidate at all -> invalid from the start
+            c1 = select_at(S, onehot)
+            disp_row = jnp.where(c1 < big_guard, disp_row, jnp.nan)
+        disp_ref[pl.ds(row, 1), :] = disp_row
         dint_ref[pl.ds(row, 1), :] = d_int
 
+        if not with_dr:
+            dr_ref[pl.ds(row, 1), :] = jnp.zeros((1, W), jnp.float32)
+            continue
         # right-reference volume S_R[k, x] = S[k, x - disp_min - k] via a
         # per-sublane lane roll (log-step construction), masked outside
         R = jnp.roll(S, disp_min, axis=1) if disp_min % W else S
@@ -306,7 +354,8 @@ def _wta_kernel(*refs, D, W, G, disp_min, subpix, n_parts):
                                      + offR)
 
 
-def _wta_pallas(parts, disp_min, subpix, interpret=False):
+def _wta_pallas(parts, disp_min, subpix, interpret=False, big_guard=None,
+                with_dr=True, emit_offset=False):
     """(disp_raw, d_int, dR) maps from the summed (H, D, W) partials."""
     H, D, W = parts[0].shape
     G = _ROW_BLOCK
@@ -314,7 +363,8 @@ def _wta_pallas(parts, disp_min, subpix, interpret=False):
     n_parts = len(parts)
     kernel = functools.partial(_wta_kernel, D=D, W=W, G=G,
                                disp_min=disp_min, subpix=subpix,
-                               n_parts=n_parts)
+                               n_parts=n_parts, big_guard=big_guard,
+                               with_dr=with_dr, emit_offset=emit_offset)
     part_spec = pl.BlockSpec((G, D, W), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     map_spec = pl.BlockSpec((G, W), lambda i: (i, 0),
@@ -472,3 +522,132 @@ def match_pallas(im1, im2, disp_min, disp_max, params, p2map=None,
                                       interpret=interpret)
     return {'disp_raw': disp_raw, 'd_int': d_int, 'dR': dR,
             'valid1': valid1, 'votes': votes}
+
+
+# --------------------------------------------------------------------- #
+# Binary-faithful flow entry (ops/mgm_flow.py semantics)
+# --------------------------------------------------------------------- #
+
+def flow_sigs(im1, im2, win, h1=None, w1=None, w2=None):
+    """Bit-annotated census signatures for the faithful flow.
+
+    Census on raw values (census_bits_raw: NaN pixels participate as
+    data); extent semantics ride signature bits so the kernel needs no
+    per-tile scalars (the extents may be TRACED):
+      * sig2 bit _VALID_BIT = 0 beyond the true secondary width -> those
+        candidates cost BIG (out of range, like the binary's truncDist);
+      * sig1 bit _PAD_BIT = 1 over reference-side padding -> zero cost
+        rows keep the scan carry in the fresh-border state.
+    """
+    from .mgm_flow import census_bits_raw
+    s1 = census_bits_raw(im1, win)[..., 0]
+    s2 = census_bits_raw(im2, win)[..., 0]
+    H, W = im1.shape
+    xs = jnp.arange(W)[None, :]
+    ys = jnp.arange(H)[:, None]
+    v2 = xs < (W if w2 is None else jnp.asarray(w2, jnp.int32))
+    s2 = s2 | (jnp.broadcast_to(v2, (H, W)).astype(jnp.uint32) << _VALID_BIT)
+    s1 = s1 | (jnp.uint32(1) << _VALID_BIT)
+    if h1 is not None or w1 is not None:
+        pad = ((ys >= jnp.asarray(H if h1 is None else h1, jnp.int32))
+               | (xs >= jnp.asarray(W if w1 is None else w1, jnp.int32)))
+        s1 = s1 | (pad.astype(jnp.uint32) << _PAD_BIT)
+    return s1, s2
+
+
+def flow_partials_from_sigs(s1, s2, disp_min: int, D: int, variant,
+                            p2map=None, allowed=None, interpret=False):
+    """Aggregation partials of the faithful flow from bit-annotated
+    signatures: classic independent scans (tsgm=1), BIG out-of-range
+    costs, the TSGM_FIX_OVERCOUNT subtraction folded into the first pass.
+
+    Returns ((H, D, W) partials list, votes list)."""
+    from .mgm_flow import BIG
+    from .sgm import _DIRS_8
+
+    H, W = s1.shape
+    nbits = variant.census_win ** 2 - 1
+    assert nbits <= _VALID_BIT
+    if p2map is None:
+        p2map = jnp.full((H, W), variant.p2, jnp.float32)
+    else:
+        p2map = jnp.broadcast_to(p2map.astype(jnp.float32), (H, W))
+    if allowed is not None:
+        allowed = jnp.asarray(allowed, jnp.int32).reshape(D, 1)
+
+    dirs = _DIRS_8[:max(2, min(variant.nb_dir, 8))]
+    passes = {}
+    for i, d in enumerate(dirs):
+        key, (main, partner) = _PASS_OF_DIR[d]
+        passes.setdefault(key, ([], []))
+        passes[key][0].append(i)
+        passes[key][1].append((main,))
+
+    s1t = s2tp = p2t = None
+    if 'hf' in passes or 'hb' in passes:
+        s1t, p2t = s1.T, p2map.T
+        G = _ROW_BLOCK
+        pad = max(0, -disp_min, disp_min + D)
+        pad += (-(disp_min + pad)) % G
+        s2tp = jnp.pad(s2.T, ((pad, pad), (0, 0)))
+
+    run = functools.partial(_scan_pass_pallas, D=D, disp_min=disp_min,
+                            p1=variant.p1, invalid_cost=float(BIG),
+                            nbits=nbits, interpret=interpret,
+                            allowed=allowed)
+
+    S_v = S_h = None
+    votes = [None] * len(dirs)
+    sub = float(len(dirs) - 1) if variant.overcount_fix else 0.0
+    for key, (dir_idx, lats) in passes.items():
+        kw = {}
+        if sub:
+            kw['sub_cost_mult'] = sub
+            sub = 0.0            # exactly one pass applies the fix
+        if key in ('vf', 'vb'):
+            Sp, v = run(s1, s2, p2map, dirs=lats, reverse=(key == 'vb'),
+                        horizontal=False, **kw)
+            S_v = Sp if S_v is None else S_v + Sp
+            for j, i in enumerate(dir_idx):
+                votes[i] = v[j]
+        else:
+            Sp, v = run(s1t, s2tp, p2t, dirs=lats, reverse=(key == 'hb'),
+                        horizontal=True, **kw)
+            S_h = Sp if S_h is None else S_h + Sp
+            for j, i in enumerate(dir_idx):
+                votes[i] = v[j].T
+
+    parts = []
+    if S_v is not None:
+        parts.append(S_v)
+    if S_h is not None:
+        parts.append(jnp.transpose(S_h, (2, 1, 0)))
+    return parts, votes
+
+
+def flow_one_side_pallas(im1, im2, disp_min, D, variant, p2map=None,
+                         interpret=False, ext=None):
+    """One side of the binary-faithful flow: (disp_raw, d_int, votes),
+    matching ops.mgm_flow._mgm_one_side's WTA semantics exactly.
+    ``ext`` = optional static (h1, w1, w2, d_true) true extents of a
+    padded tile."""
+    from .mgm_flow import BIG
+
+    h1 = w1 = w2 = None
+    allowed = None
+    if ext is not None:
+        h1, w1, w2, d_true = ext
+        if d_true is not None and d_true != D:
+            allowed = (jnp.arange(D) < d_true).astype(jnp.int32)
+    s1, s2 = flow_sigs(im1, im2, variant.census_win, h1, w1, w2)
+    parts, votes = flow_partials_from_sigs(s1, s2, int(disp_min), D,
+                                           variant, p2map, allowed,
+                                           interpret)
+    off, d_int, _ = _wta_pallas(parts, int(disp_min), variant.subpix,
+                                interpret=interpret,
+                                big_guard=float(BIG) / 2, with_dr=False,
+                                emit_offset=True)
+    disp = (jnp.asarray(disp_min, jnp.float32)
+            + d_int.astype(jnp.float32)) + off
+    return disp, d_int, votes
+

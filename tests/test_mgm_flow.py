@@ -103,3 +103,49 @@ def test_fixture_parity_bounds(ref_data):
     assert np.sqrt((d ** 2).mean()) < 0.55
     assert (d > 1).mean() < 0.004
     assert iou > 0.975
+
+
+def test_pallas_flow_matches_lax_bitwise():
+    """The Pallas fast path (interpret mode on CPU) must equal the lax
+    path bitwise, including NaN margins, padding extents and the
+    overcount fix."""
+    im1, im2 = _synthetic_pair(H=64, W=96, d=3.0)
+    im1[:5] = np.nan
+    im2[:, -7:] = np.nan
+    lax_v = mf.MgmVariant(backend='lax')
+    pal_v = mf.MgmVariant(backend='interpret')
+    d_lax = np.asarray(mf.mgm_binary_match(im1, im2, -2, 7, lax_v)[0])
+    d_pal = np.asarray(mf.mgm_binary_match(im1, im2, -2, 7, pal_v)[0])
+    same = (d_lax == d_pal) | (np.isnan(d_lax) & np.isnan(d_pal))
+    assert same.all(), f'{(~same).sum()} pixels differ'
+    # non-multiple-of-8 shape goes through the padded static-extent entry
+    a, b = im1[:57, :83], im2[:57, :83]
+    d_lax = np.asarray(mf.mgm_binary_match(a, b, -2, 7, lax_v)[0])
+    d_pal = np.asarray(mf.mgm_binary_match(a, b, -2, 7, pal_v)[0])
+    same = (d_lax == d_pal) | (np.isnan(d_lax) & np.isnan(d_pal))
+    assert same.all(), f'{(~same).sum()} pixels differ (padded entry)'
+
+
+def test_pallas_batch_matches_lax_batch_bitwise():
+    """The batched Pallas route (disparity rebase via signature gather,
+    extents as bits, candidate mask input) must equal the lax batch
+    bitwise, per tile, under traced per-tile bases and extents."""
+    im1, im2 = _synthetic_pair(H=64, W=96, d=3.0)
+    im1[:5] = np.nan
+    im2[:, -7:] = np.nan
+    Hp, Wp, Dp = 80, 112, 16
+    b1 = np.full((2, Hp, Wp), np.nan, np.float32)
+    b2 = np.full((2, Hp, Wp), np.nan, np.float32)
+    b1[:, :64, :96] = im1
+    b2[:, :64, :96] = im2
+    outs = {}
+    for lbl, v in (('lax', mf.MgmVariant(backend='lax')),
+                   ('pal', mf.MgmVariant(backend='interpret'))):
+        o = mf.mgm_binary_match_batch(
+            jnp.asarray(b1), jnp.asarray(b2), [-2, -4], Dp,
+            [64, 64], [96, 96], [96, 96], [10, 12], variant=v)
+        outs[lbl] = np.asarray(o['disp'])
+    for k in range(2):
+        a, b = outs['lax'][k], outs['pal'][k]
+        same = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert same.all(), f'tile {k}: {(~same).sum()} pixels differ'
