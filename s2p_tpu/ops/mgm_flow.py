@@ -402,18 +402,21 @@ def _flow_ext_jit(im1, im2, disp_min: int, D: int, variant: MgmVariant,
                       d_true=D)
 
 
-def _shift_sig_cols(sig, shift, w_true):
-    """shifted[y, x] = sig[y, x + shift] with the _VALID_BIT set only where
-    the source column lies in [0, w_true) -- the disparity-rebase gather
-    (census is translation-equivariant including its NaN border bits, so
-    shifting the SIGNATURE equals matching at base ``shift``)."""
+def _shift_sig_cols(sig, shift, w_true, extra: int = 0):
+    """shifted[y, x] = sig[y, x + shift] for x in [0, W + extra), with the
+    _VALID_BIT set only where the source column lies in [0, w_true) -- the
+    disparity-rebase gather (census is translation-equivariant including
+    its NaN border bits, so shifting the SIGNATURE equals matching at base
+    ``shift``).  ``extra`` widens the output so every candidate position
+    x + k of the kernel exists even when the rebase shifts content right
+    (base < w_true - W; the margin must cover the candidate count)."""
     H, W = sig.shape
-    xs = jnp.arange(W)[None, :] + jnp.asarray(shift, jnp.int32)
+    xs = jnp.arange(W + extra)[None, :] + jnp.asarray(shift, jnp.int32)
     ok = (xs >= 0) & (xs < jnp.asarray(w_true, jnp.int32))
     g = jnp.take_along_axis(sig, jnp.broadcast_to(jnp.clip(xs, 0, W - 1),
-                                                  (H, W)), axis=1)
+                                                  (H, W + extra)), axis=1)
     from .sgm_pallas import _VALID_BIT
-    return g | (jnp.broadcast_to(ok, (H, W)).astype(jnp.uint32)
+    return g | (jnp.broadcast_to(ok, (H, W + extra)).astype(jnp.uint32)
                 << _VALID_BIT)
 
 
@@ -439,7 +442,9 @@ def _flow_one_batched_pallas(a, b, dm, D, h1, w1, w2, dt, v: MgmVariant):
         pad = (ys >= h_ref) | (xs >= w_ref)
         sr = (sig_ref | (one << _VALID_BIT)
               | (pad.astype(jnp.uint32) << _PAD_BIT))
-        ss = _shift_sig_cols(sig_sec, base, w_sec)
+        # margin D: candidate positions x + k reach W - 1 + D - 1 and the
+        # rebase may shift content right by up to the full range
+        ss = _shift_sig_cols(sig_sec, base, w_sec, extra=D)
         parts, votes = flow_partials_from_sigs(sr, ss, 0, D, v,
                                                allowed=allowed,
                                                interpret=interp)

@@ -74,8 +74,8 @@ def _minconv(L, p1, p2):
 
 def _scan_kernel(*refs,
                  D, W, G, n_steps, disp_min, dirs, p1, invalid_cost,
-                 sig_mask, reverse, horizontal, pad, sub_cost_mult=0.0,
-                 has_allowed=False):
+                 sig_mask, reverse, horizontal, pad, sec_len,
+                 sub_cost_mult=0.0, has_allowed=False):
     if has_allowed:
         # (D, 1) int32 per-tile candidate mask (the bucket's disparity-axis
         # padding and the tile's true range; mgm_flow batch contract)
@@ -104,7 +104,7 @@ def _scan_kernel(*refs,
         allowed = jnp.broadcast_to(allowed_ref[:] == 1, (D, W))
     if not horizontal:
         x2 = x_ids + disp_min + k_ids
-        inb = (x2 >= 0) & (x2 < W)
+        inb = (x2 >= 0) & (x2 < sec_len)
     else:
         # one sublane-aligned window per grid step covers all G row slices:
         # rows block*G + disp_min + pad + [0, D + G); ``pad`` is chosen by
@@ -122,19 +122,22 @@ def _scan_kernel(*refs,
             s2b = window[row:row + D]                      # (D, W=H)
             # scan position along the original x axis; width = n_steps * G
             ix = block * G + row + disp_min + k_ids
-            inb_r = (ix >= 0) & (ix < n_steps * G)
+            inb_r = (ix >= 0) & (ix < sec_len)
         else:
             s2row = sig2_ref[pl.ds(row, 1), :]
             # shifted-row construction s2b[k, x] = sig2row[x + dmin + k] by
             # doubling: X_{b+1} = [X_b ; roll(X_b, -2^b)] (materialized
-            # arrays only -- Mosaic cannot roll broadcast layouts)
+            # arrays only -- Mosaic cannot roll broadcast layouts).  The
+            # secondary may be WIDER than the reference (W2 = W + D margin,
+            # the batch rebase contract): build on W2 lanes, slice to W.
+            W2 = s2row.shape[1]
             s2b = (jnp.roll(s2row, -disp_min, axis=1)
-                   if disp_min % W != 0 else s2row)
+                   if disp_min % W2 != 0 else s2row)
             while s2b.shape[0] < D:
                 step = s2b.shape[0]
                 s2b = jnp.concatenate(
                     [s2b, jnp.roll(s2b, -step, axis=1)], axis=0)
-            s2b = s2b[:D]
+            s2b = s2b[:D, :W]
             inb_r = inb
 
         v1 = (s1 >> _VALID_BIT) & np.uint32(1)             # (1, W)
@@ -195,7 +198,8 @@ def _scan_kernel(*refs,
 
 def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, p1,
                       invalid_cost, nbits, reverse, horizontal,
-                      interpret=False, sub_cost_mult=0.0, allowed=None):
+                      interpret=False, sub_cost_mult=0.0, allowed=None,
+                      sec_len=None):
     """All same-orientation directions in one streaming pass.
 
     Args:
@@ -217,7 +221,15 @@ def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, p1,
     n_steps = N // G
     n_dirs = len(dirs)
     sig_mask = np.uint32((1 << nbits) - 1)
-    pad = (sig2.shape[0] - N) // 2 if horizontal else 0
+    if horizontal:
+        # the secondary scan axis may be longer than the reference's (the
+        # batch rebase ships W + D extra positions); symmetric zero pad is
+        # the legacy layout, trailing-margin the wide one
+        pad = (sig2.shape[0] - N) // 2 if sec_len is None else 0
+        sec_len = n_steps * G if sec_len is None else sec_len
+    else:
+        pad = 0
+        sec_len = sig2.shape[1] if sec_len is None else sec_len
 
     def idx(i):
         return (n_steps - 1 - i) if reverse else i
@@ -226,12 +238,13 @@ def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, p1,
         _scan_kernel, D=D, W=W, G=G, n_steps=n_steps, disp_min=disp_min,
         dirs=tuple(dirs), p1=p1, invalid_cost=invalid_cost,
         sig_mask=sig_mask, reverse=reverse, horizontal=horizontal, pad=pad,
-        sub_cost_mult=sub_cost_mult, has_allowed=allowed is not None)
+        sec_len=sec_len, sub_cost_mult=sub_cost_mult,
+        has_allowed=allowed is not None)
 
     if horizontal:
         sig2_spec = pl.BlockSpec(memory_space=pltpu.VMEM)   # full array
     else:
-        sig2_spec = pl.BlockSpec((G, W), lambda i: (idx(i), 0),
+        sig2_spec = pl.BlockSpec((G, sig2.shape[1]), lambda i: (idx(i), 0),
                                  memory_space=pltpu.VMEM)
 
     in_specs = [
@@ -583,13 +596,20 @@ def flow_partials_from_sigs(s1, s2, disp_min: int, D: int, variant,
         passes[key][0].append(i)
         passes[key][1].append((main,))
 
+    wide = s2.shape[1] > s1.shape[1]     # batch rebase: W2 = W + margin
+    assert not wide or disp_min == 0
     s1t = s2tp = p2t = None
+    h_sec_len = None
     if 'hf' in passes or 'hb' in passes:
         s1t, p2t = s1.T, p2map.T
-        G = _ROW_BLOCK
-        pad = max(0, -disp_min, disp_min + D)
-        pad += (-(disp_min + pad)) % G
-        s2tp = jnp.pad(s2.T, ((pad, pad), (0, 0)))
+        if wide:
+            s2tp = s2.T                  # trailing margin, no extra pad
+            h_sec_len = s2.shape[1]
+        else:
+            G = _ROW_BLOCK
+            pad = max(0, -disp_min, disp_min + D)
+            pad += (-(disp_min + pad)) % G
+            s2tp = jnp.pad(s2.T, ((pad, pad), (0, 0)))
 
     run = functools.partial(_scan_pass_pallas, D=D, disp_min=disp_min,
                             p1=variant.p1, invalid_cost=float(BIG),
@@ -612,7 +632,7 @@ def flow_partials_from_sigs(s1, s2, disp_min: int, D: int, variant,
                 votes[i] = v[j]
         else:
             Sp, v = run(s1t, s2tp, p2t, dirs=lats, reverse=(key == 'hb'),
-                        horizontal=True, **kw)
+                        horizontal=True, sec_len=h_sec_len, **kw)
             S_h = Sp if S_h is None else S_h + Sp
             for j, i in enumerate(dir_idx):
                 votes[i] = v[j].T

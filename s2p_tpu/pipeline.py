@@ -279,7 +279,7 @@ def stereo_matching_all(cfg: Config, tiles_pairs, timeout=600):
     engine fall back to the per-tile path.
     """
     algo = cfg.matching_algorithm
-    if algo != 'mgm':
+    if algo not in ('mgm', 'mgm_multi'):
         # matcher-specific worker throttle (reference __init__.py:586-589:
         # matchers are memory-hungry, so their fan-out has its own knob);
         # default 1 because the per-tile engines already saturate the
@@ -294,9 +294,14 @@ def stereo_matching_all(cfg: Config, tiles_pairs, timeout=600):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from .ops.mgm_flow import mgm_binary_match_batch
+    from .ops.mgm_flow import MgmVariant, mgm_binary_match_batch, \
+        mgm_multi_match_batch
 
     variant = matching.mgm_variant_from_cfg(cfg)
+    if algo == 'mgm_multi':
+        # the -S 6 cascade contract: no median, speckle filter applied to
+        # the result (core/matching.py mgm_multi branch)
+        variant = MgmVariant(**{**variant.__dict__, 'median_order': 'none'})
     jobs = []
     for tile, i in tiles_pairs:
         out_dir = os.path.join(tile['dir'], f'pair_{i}')
@@ -355,16 +360,27 @@ def stereo_matching_all(cfg: Config, tiles_pairs, timeout=600):
             b1, b2 = jnp.asarray(b1), jnp.asarray(b2)
         # per-tile traced extents keep each padded tile's output bitwise
         # equal to its unpadded run (ops/mgm_flow.py docstring)
-        out = mgm_binary_match_batch(b1, b2, dmins, int(Dp),
-                                     h_b, w1_b, w2_b, d_b, variant)
+        if algo == 'mgm_multi':
+            out = mgm_multi_match_batch(b1, b2, dmins, int(Dp),
+                                        h_b, w1_b, w2_b, d_b, variant)
+        else:
+            out = mgm_binary_match_batch(b1, b2, dmins, int(Dp),
+                                         h_b, w1_b, w2_b, d_b, variant)
         disp_b = np.asarray(out['disp'])
         conf_b = np.asarray(out['confidence'])
         for k, j in enumerate(group):
             h, w = j['rect1'].shape
             disp = disp_b[k, :h, :w]
             conf = conf_b[k, :h, :w]
+            valid = np.isfinite(disp)
+            if algo == 'mgm_multi' and cfg.stereo_speckle_filter:
+                from .ops.morphology import remove_small_disparity_speckles
+                valid = remove_small_disparity_speckles(
+                    np.nan_to_num(disp), valid, cfg.stereo_speckle_filter,
+                    tol=1.0)
+                disp = np.where(valid, disp, np.nan)
             disp, mask = matching.finalize_disparity(
-                disp, np.isfinite(disp), j['rect1'], j['rect2'])
+                disp, valid, j['rect1'], j['rect2'])
             if cfg.msk_erosion >= 2:
                 # erosion is a cheap post-step of the batched path, never a
                 # reason to fall back to the serial engine

@@ -133,17 +133,20 @@ def test_pallas_batch_matches_lax_batch_bitwise():
     im1, im2 = _synthetic_pair(H=64, W=96, d=3.0)
     im1[:5] = np.nan
     im2[:, -7:] = np.nan
-    Hp, Wp, Dp = 80, 112, 16
+    Hp, Wp, Dp = 80, 112, 32
     b1 = np.full((2, Hp, Wp), np.nan, np.float32)
     b2 = np.full((2, Hp, Wp), np.nan, np.float32)
     b1[:, :64, :96] = im1
     b2[:, :64, :96] = im2
     outs = {}
+    # tile 1's range reaches dmax 19 > Wp - w = 16: the rebased right scan
+    # shifts content beyond the padded width, exercising the wide-margin
+    # secondary (the bug class found on the 448x512x64 pipeline bucket)
     for lbl, v in (('lax', mf.MgmVariant(backend='lax')),
                    ('pal', mf.MgmVariant(backend='interpret'))):
         o = mf.mgm_binary_match_batch(
             jnp.asarray(b1), jnp.asarray(b2), [-2, -4], Dp,
-            [64, 64], [96, 96], [96, 96], [10, 12], variant=v)
+            [64, 64], [96, 96], [96, 96], [10, 24], variant=v)
         outs[lbl] = np.asarray(o['disp'])
     for k in range(2):
         a, b = outs['lax'][k], outs['pal'][k]

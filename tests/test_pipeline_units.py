@@ -131,3 +131,56 @@ def test_debug_plot_matches_writes_png(tmp_path, ref_data):
     visualisation.plot_matches(im1, im2, rpc1, rpc2, m, str(out),
                                150, 150, 300, 300)
     assert out.exists() and out.stat().st_size > 0
+
+
+def _fake_tile_pair(tmp_path, h=48, w=64, dmin=-4, dmax=4):
+    rng = np.random.RandomState(0)
+    tdir = tmp_path / 'tiles' / 'row_0' / 'col_0'
+    pdir = tdir / 'pair_1'
+    pdir.mkdir(parents=True)
+    from s2p_tpu.geo import geotiff
+    im2 = (rng.rand(h, w) * 200).astype(np.float32)
+    im1 = np.roll(im2, 2, axis=1)
+    geotiff.write(str(pdir / 'rectified_ref.tif'), im1)
+    geotiff.write(str(pdir / 'rectified_sec.tif'), im2)
+    np.savetxt(str(pdir / 'disp_min_max.txt'), [dmin, dmax])
+    return {'dir': str(tdir), 'coordinates': (0, 0, w, h)}
+
+
+@pytest.mark.parametrize('algo,erosion', [('mgm', 0), ('mgm', 2),
+                                          ('mgm_multi', 2)])
+def test_stage4_always_takes_batched_path(tmp_path, monkeypatch, algo,
+                                          erosion):
+    """Default configs (msk_erosion=2) and mgm_multi must drive stage 4
+    through the batched engine -- never silently fall back to the serial
+    per-tile path (round-2 verdict finding)."""
+    from s2p_tpu import pipeline
+    from s2p_tpu.config import Config
+    from s2p_tpu.ops import mgm_flow
+
+    tile = _fake_tile_pair(tmp_path)
+    cfg = Config(roi={'x': 0, 'y': 0, 'w': 64, 'h': 48},
+                 matching_algorithm=algo, msk_erosion=erosion)
+    calls = {'batch': 0, 'serial': 0}
+    orig_b = mgm_flow.mgm_binary_match_batch
+    orig_m = mgm_flow.mgm_multi_match_batch
+
+    def count_b(*a, **k):
+        calls['batch'] += 1
+        return orig_b(*a, **k)
+
+    def count_m(*a, **k):
+        calls['batch'] += 1
+        return orig_m(*a, **k)
+
+    monkeypatch.setattr(pipeline, 'stereo_matching',
+                        lambda *a, **k: calls.__setitem__(
+                            'serial', calls['serial'] + 1))
+    import s2p_tpu.ops.mgm_flow as mf_mod
+    monkeypatch.setattr(mf_mod, 'mgm_binary_match_batch', count_b)
+    monkeypatch.setattr(mf_mod, 'mgm_multi_match_batch', count_m)
+    pipeline.stereo_matching_all(cfg, [(tile, 1)])
+    assert calls['batch'] == 1 and calls['serial'] == 0
+    import os
+    assert os.path.exists(os.path.join(tile['dir'], 'pair_1',
+                                       'rectified_disp.tif'))
