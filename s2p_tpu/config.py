@@ -75,6 +75,7 @@ class Config:
     # SIFT / pointing
     relative_sift_match_thresh: bool = True
     sift_match_thresh: float = 0.6
+    sift_device: str = 'auto'     # 'auto' | 'device' | 'host' SIFT placement
     n_gcp_per_axis: int = 5
     epipolar_thresh: float = 0.5
     max_pointing_error: float = 10.0

@@ -52,31 +52,6 @@ def mgm_variant_from_cfg(cfg: Config) -> MgmVariant:
     )
 
 
-def _sgm_params_from_cfg(cfg: Config, multi: bool) -> SgmParams:
-    # Legacy calibrated engine, still driving the mgm_multi cascade; the
-    # plain-mgm path now uses the binary-faithful flow (ops/mgm_flow.py),
-    # which measures rms 0.466 / >1px 0.27% / IoU 0.981 against the mgm
-    # binary's fixture output versus 0.70 / 0.56% / 0.968 for this
-    # calibration (tools/harness_match.py).
-    mult = cfg.stereo_regularity_multiplier
-    return SgmParams(
-        census_win=cfg.census_ncc_win,
-        p1=11.0 * mult,
-        p2=44.0 * mult,
-        nb_dir=cfg.mgm_nb_directions,
-        subpix='vfit',
-        median=True,
-        median_first=True,
-        lr_tau=1.2 * cfg.mgm_leftright_threshold,
-        lr_enabled=cfg.mgm_leftright_control != 0,
-        speckle_min_area=cfg.stereo_speckle_filter if multi else 0,
-        mgm=False,
-        p2_edge_scale=0.6,
-        lr_mode='volume',
-        median_fill=True,
-    )
-
-
 def _laplacian(img):
     """Laplacian-of-gaussian prefilter (NaN-preserving)."""
     from scipy.ndimage import gaussian_laplace

@@ -149,27 +149,19 @@ def rectification_homographies(matches, x, y, w, h, debug=False):
     return T @ S1, T @ S2, F
 
 
-def rectify_pair(cfg: Config, im1, im2, rpc1, rpc2, x, y, w, h, A=None,
-                 sift_matches=None, method='rpc', hmargin=0, vmargin=0):
-    """Rectify the ROI of an image pair.
-
-    Args:
-        cfg: pipeline configuration.
-        im1, im2: full reference/secondary images as 2D numpy arrays
-            (or objects with a __getitem__ window; the whole array is used).
-        rpc1, rpc2: RPC models.
-        x, y, w, h: ROI in the reference image.
-        A: optional pointing correction for image 2.
-        sift_matches: (n, 4) matches in full-image coordinates.
-        method: 'rpc' (virtual matches) or 'sift'.
-        hmargin, vmargin: margins around the rectified crops.
+def rectify_pair_geometry(cfg: Config, rpc1, rpc2, x, y, w, h, A=None,
+                          sift_matches=None, method='rpc', hmargin=0,
+                          vmargin=0):
+    """Host-side half of :func:`rectify_pair`: the rectifying homographies,
+    disparity range, and output size -- everything except the dense warps.
+    Lets a batched driver run ALL tiles' warps as one device program
+    (pipeline.rectification_all).
 
     Returns:
-        (rect1, rect2, H1, H2, disp_min, disp_max): the two rectified float32
-        arrays (same size) and the homographies applied to the full images.
+        (H1, H2, disp_min, disp_max, out_w, out_h).
 
-    Parity: reference rectification.py:281-382, with the two subprocess
-    warps replaced by a jitted device warp.
+    Parity: reference rectification.py:281-369 (everything before the two
+    subprocess warps).
     """
     alt_kwargs = dict(exogenous_dem=cfg.exogenous_dem,
                       exogenous_dem_geoid_mode=cfg.exogenous_dem_geoid_mode,
@@ -228,6 +220,33 @@ def rectify_pair(cfg: Config, im1, im2, rpc1, rpc2, x, y, w, h, A=None,
 
     out_w = int(w0 + 2 * hmargin)
     out_h = int(h0 + 2 * vmargin)
+    return H1, H2, disp_m, disp_M, out_w, out_h
+
+
+def rectify_pair(cfg: Config, im1, im2, rpc1, rpc2, x, y, w, h, A=None,
+                 sift_matches=None, method='rpc', hmargin=0, vmargin=0):
+    """Rectify the ROI of an image pair.
+
+    Args:
+        cfg: pipeline configuration.
+        im1, im2: full reference/secondary images as 2D numpy arrays.
+        rpc1, rpc2: RPC models.
+        x, y, w, h: ROI in the reference image.
+        A: optional pointing correction for image 2.
+        sift_matches: (n, 4) matches in full-image coordinates.
+        method: 'rpc' (virtual matches) or 'sift'.
+        hmargin, vmargin: margins around the rectified crops.
+
+    Returns:
+        (rect1, rect2, H1, H2, disp_min, disp_max): the two rectified float32
+        arrays (same size) and the homographies applied to the full images.
+
+    Parity: reference rectification.py:281-382, with the two subprocess
+    warps replaced by a jitted device warp.
+    """
+    H1, H2, disp_m, disp_M, out_w, out_h = rectify_pair_geometry(
+        cfg, rpc1, rpc2, x, y, w, h, A=A, sift_matches=sift_matches,
+        method=method, hmargin=hmargin, vmargin=vmargin)
     from ..ops.homography import image_apply_homographies
     rect1, rect2 = image_apply_homographies(
         [(im1, H1, out_w, out_h), (im2, H2, out_w, out_h)])

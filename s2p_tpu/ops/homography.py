@@ -6,6 +6,8 @@ delegates to the JAX resampler in :mod:`s2p_tpu.ops.interp`.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 
@@ -73,6 +75,81 @@ def image_apply_homography(img, H, w, h, order=5):
     out = warp_homography(src, hinv.astype(np.float32), int(w), int(h),
                           order=order, nanmask=nanmask)
     return np.asarray(out)
+
+
+@functools.lru_cache(maxsize=32)
+def _warp_batch_jit(src_shape, hb, wb, order, masked):
+    """Jitted batch warp: one compile per (source shape, output bucket);
+    the homographies are traced, so every tile of a scene shares it."""
+    import jax
+
+    from .interp import warp_homography
+
+    def fn(img, nanmask, hinvs):
+        return jax.vmap(
+            lambda hv: warp_homography(img, hv, wb, hb, order=order,
+                                       nanmask=nanmask if masked else None)
+        )(hinvs)
+
+    return jax.jit(fn)
+
+
+def warp_jobs_batched(jobs, order=5):
+    """Warp many (img, H, w, h) jobs as vmapped device programs.
+
+    Jobs sharing a source image and an output-shape bucket run as ONE
+    program (the homography is a traced (3, 3) input); the spline
+    prefilter runs once per distinct source array and its coefficients are
+    uploaded once.  Because the warp is pointwise in output pixels,
+    bucket padding + crop is bitwise identical to the per-job
+    :func:`image_apply_homography`.  This is the stage-3 analogue of the
+    batched stage-4 matcher: the reference fans per-tile ``homography``
+    subprocesses over a pool (parallel.py:58-110); here the tile axis is a
+    batch axis.
+
+    Returns a list of (h, w) float32 arrays in job order.
+    """
+    import jax
+    import numpy as np
+
+    jobs = list(jobs)
+    srcs = {}        # id(img) -> (dev_coeffs, dev_mask_or_None)
+    for img, _, _, _ in jobs:
+        key = id(img)
+        if key in srcs:
+            continue
+        if order == 5:
+            coeffs, mask = _spline5_inputs(np.asarray(img, dtype=np.float32))
+        else:
+            coeffs = np.asarray(img, dtype=np.float32)
+            mask = None
+        srcs[key] = (jax.device_put(coeffs),
+                     None if mask is None else jax.device_put(mask))
+
+    groups = {}      # (img_key, hb, wb) -> [(job_idx, hinv)]
+    for k, (img, H, w, h) in enumerate(jobs):
+        hb = -(-int(h) // 64) * 64
+        wb = -(-int(w) // 128) * 128
+        hinv = np.linalg.inv(np.asarray(H, dtype=np.float64)) \
+            .astype(np.float32)
+        groups.setdefault((id(img), hb, wb), []).append((k, hinv))
+
+    handles = [None] * len(jobs)
+    for (key, hb, wb), members in groups.items():
+        coeffs, mask = srcs[key]
+        n = len(members)
+        n_pad = 1 << max(0, (n - 1).bit_length())   # pad batch: pow2 shapes
+        hinvs = np.stack([hv for _, hv in members]
+                         + [members[0][1]] * (n_pad - n))
+        fn = _warp_batch_jit(tuple(coeffs.shape), hb, wb, order,
+                             mask is not None)
+        out = fn(coeffs, mask, hinvs)
+        for row, (k, _) in enumerate(members):
+            handles[k] = out[row]
+    for a in handles:
+        a.copy_to_host_async()
+    return [np.asarray(a)[:int(h), :int(w)]
+            for a, (_, _, w, h) in zip(handles, jobs)]
 
 
 def image_apply_homographies(jobs, order=5):

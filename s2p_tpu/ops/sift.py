@@ -319,12 +319,25 @@ def _orientations_impl(grad_mag, grad_ori, y, x, sigma_oct):
     return out
 
 
+# SIFT execution placement: 'auto' (device iff the default backend is a
+# TPU), 'device', or 'host'.  Set from Config.sift_device by the pipeline
+# driver (pipeline.main) so the choice is part of the config snapshot;
+# not an environment variable.
+_DEVICE_MODE = 'auto'
+
+
+def set_device_mode(mode: str):
+    """Select the SIFT execution path ('auto' | 'device' | 'host')."""
+    global _DEVICE_MODE
+    if mode not in ('auto', 'device', 'host'):
+        raise ValueError(f'unknown sift_device mode {mode!r}')
+    _DEVICE_MODE = mode
+
+
 def _use_device_sift():
-    import os
-    mode = os.environ.get('S2P_TPU_SIFT_DEVICE', 'auto')
-    if mode in ('1', 'device', 'on'):
+    if _DEVICE_MODE == 'device':
         return True
-    if mode in ('0', 'host', 'off'):
+    if _DEVICE_MODE == 'host':
         return False
     import jax
     return jax.default_backend() == 'tpu'
@@ -718,6 +731,158 @@ def ransac_fundamental_matrix(matches, ntrials=1000, max_err=0.3, seed=0):
     else:
         F = None
     return np.where(best_inl)[0], F
+
+
+def _clip_roi(img, x, y, w, h):
+    """Clip an ROI to the image extent (the image_keypoints contract)."""
+    if x < 0:
+        w += x
+        x = 0
+    if y < 0:
+        h += y
+        y = 0
+    w = min(w, img.shape[1] - x)
+    h = min(h, img.shape[0] - y)
+    return int(x), int(y), int(w), int(h)
+
+
+def _match_finish(k1, k2, nn, best, second, method, sift_thresh,
+                  ransac_max_err=0.3):
+    """Host tail of keypoints_match: ratio/absolute test + RANSAC."""
+    if method == 'relative':
+        ok = np.sqrt(best) < sift_thresh * np.sqrt(second)
+    else:
+        ok = np.sqrt(best) < sift_thresh
+    ok &= np.isfinite(best)
+    matches = np.column_stack([k1[ok, 0], k1[ok, 1],
+                               k2[nn[ok], 0], k2[nn[ok], 1]]) \
+        .astype(np.float32)
+    if len(matches) >= 7:
+        inliers, _ = ransac_fundamental_matrix(matches, ntrials=1000,
+                                               max_err=ransac_max_err)
+        matches = matches[inliers]
+    return matches
+
+
+def matches_on_rpc_roi_batch(jobs):
+    """Stage-1 batch driver: SIFT matches for MANY (tile, pair) jobs.
+
+    Per-job results equal :func:`matches_on_rpc_roi` (same detection,
+    matching, retry, and RANSAC per job); the work is re-ordered
+    breadth-first so the whole batch shares each device round trip:
+    one pipelined multi-crop detection wave
+    (:func:`s2p_tpu.ops.sift_tpu.keypoints_from_arrays_tpu`), one match
+    dispatch+fetch wave, then the host RANSAC fan-out on threads.  The
+    DoG-threshold halving retry (reference sift.py:268-278) re-enters the
+    wave with only the failed jobs.
+
+    Args:
+        jobs: list of dicts with keys im1, im2, rpc1, rpc2, x, y, w, h,
+            method, sift_thresh, epipolar_threshold, alt_kwargs.
+
+    Returns:
+        list of (n, 4) match arrays (None where no matches were found).
+    """
+    from ..core import estimation, rpc_geom
+
+    n_jobs = len(jobs)
+    metas = []
+    for j in jobs:
+        x, y, w, h = j['x'], j['y'], j['w'], j['h']
+        kw = j.get('alt_kwargs', {})
+        x2, y2, w2, h2 = rpc_geom.corresponding_roi(
+            j['rpc1'], j['rpc2'], x, y, w, h, **kw)
+        rpc_matches = rpc_geom.matches_from_rpc(
+            j['rpc1'], j['rpc2'], x, y, w, h, 5, **kw)
+        F = estimation.affine_fundamental_matrix(rpc_matches)
+        roi1 = _clip_roi(j['im1'], x, y, w, h)
+        roi2 = _clip_roi(j['im2'], x2, y2, w2, h2)
+        metas.append(dict(F=F, roi1=roi1, roi2=roi2))
+
+    results = [None] * n_jobs
+    pending = list(range(n_jobs))
+    thresh_dog = {k: 0.0133 for k in pending}
+    use_device = _use_device_sift()
+
+    for _ in range(2):
+        if not pending:
+            break
+        # detection wave: 2 crops per pending job
+        crops, offs, ths = [], [], []
+        for k in pending:
+            for img, (x, y, w, h) in ((jobs[k]['im1'], metas[k]['roi1']),
+                                      (jobs[k]['im2'], metas[k]['roi2'])):
+                crops.append(np.ascontiguousarray(
+                    img[y:y + h, x:x + w], dtype=np.float32))
+                offs.append((x, y))
+                ths.append(thresh_dog[k])
+        if use_device:
+            from .sift_tpu import keypoints_from_arrays_tpu
+            kps = keypoints_from_arrays_tpu(crops, ths, offs)
+        else:
+            kps = [keypoints_from_array(c, t, offset=o)
+                   for c, t, o in zip(crops, ths, offs)]
+
+        # match wave: dispatch every pair's kernel, then fetch together
+        match_in = []
+        for idx, k in enumerate(pending):
+            k1, k2 = kps[2 * idx], kps[2 * idx + 1]
+            Fm = np.asarray(metas[k]['F'], dtype=np.float64)
+            fc = np.array([Fm[0, 2], Fm[1, 2], Fm[2, 0], Fm[2, 1],
+                           Fm[2, 2]], dtype=np.float32)
+            gate = float(jobs[k]['epipolar_threshold']
+                         * math.hypot(fc[0], fc[1]))
+            match_in.append((k, k1, k2, fc, gate))
+
+        finished = {}
+        if use_device:
+            handles = []
+            for k, k1, k2, fc, gate in match_in:
+                if len(k1) == 0 or len(k2) == 0:
+                    handles.append(None)
+                    continue
+                bucket = 2048
+                N1 = -(-len(k1) // bucket) * bucket
+                N2 = -(-len(k2) // bucket) * bucket
+                k1p = np.zeros((N1, k1.shape[1]), np.float32)
+                k2p = np.zeros((N2, k2.shape[1]), np.float32)
+                k1p[:len(k1)] = k1
+                k2p[:len(k2)] = k2
+                handles.append(_match_kernel_jit()(
+                    k1p, k2p, len(k1), len(k2), fc, np.float32(gate)))
+            flat = [h for hs in handles if hs is not None for h in hs]
+            _fetch_all(flat)
+            for (k, k1, k2, fc, gate), hs in zip(match_in, handles):
+                if hs is None:
+                    finished[k] = np.zeros((0, 4), np.float32)
+                    continue
+                nn, best, second = (np.asarray(a)[:len(k1)] for a in hs)
+                finished[k] = _match_finish(k1, k2, nn, best, second,
+                                            jobs[k]['method'],
+                                            jobs[k]['sift_thresh'])
+        else:
+            for k, k1, k2, fc, gate in match_in:
+                finished[k] = keypoints_match(
+                    k1, k2, jobs[k]['method'], jobs[k]['sift_thresh'],
+                    metas[k]['F'],
+                    epipolar_threshold=jobs[k]['epipolar_threshold'],
+                    model='fundamental')
+
+        still = []
+        for k in pending:
+            m = finished[k]
+            if m is not None and m.ndim == 2 and m.shape[0] > 10:
+                results[k] = m
+            else:
+                thresh_dog[k] /= 2.0
+                still.append(k)
+        pending = still
+
+    if pending:
+        import warnings
+        warnings.warn('sift.matches_on_rpc_roi_batch: found no matches for '
+                      f'{len(pending)} tile pair(s)')
+    return results
 
 
 def matches_on_rpc_roi(im1, im2, rpc1, rpc2, x, y, w, h, method='relative',

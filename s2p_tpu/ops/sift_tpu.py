@@ -419,10 +419,9 @@ def _dispatch_atlas(kern, gmag, gori, cols, n):
     return handles
 
 
-def keypoints_from_array_tpu(arr, thresh_dog=0.0133, n_octaves=8,
-                             n_scales=3, offset=None):
-    """Device SIFT detection; same output contract as
-    sift.keypoints_from_array (rows of x, y, scale, orientation, 128-d)."""
+def _dispatch_pyramid(arr, thresh_dog, n_octaves, n_scales):
+    """Phase A (no host sync): pad, dispatch the pyramid program and the
+    gradient fields; returns a state dict of DEVICE handles + metadata."""
     import jax.numpy as jnp
 
     arr = np.asarray(arr, dtype=np.float32)
@@ -436,23 +435,27 @@ def keypoints_from_array_tpu(arr, thresh_dog=0.0133, n_octaves=8,
 
     sizes, slots, _ = _octave_layout(hb, wb, n_octaves)
     prog = _pyramid_program(hb, wb, n_octaves, n_scales)
-    atlas, tables_dev = prog(jnp.asarray(img), h, w,
-                             np.float32(thresh_dog))
+    atlas, tables_dev = prog(jnp.asarray(img), h, w, np.float32(thresh_dog))
     gmag, gori = _grad_fields_atlas()(atlas)
+    return dict(h=h, w=w, sizes=sizes, slots=slots, n_scales=n_scales,
+                n_octaves=n_octaves, tables_dev=tables_dev,
+                gmag=gmag, gori=gori)
 
-    tables = _fetch_all(tables_dev)
 
+def _build_groups(st, tables):
+    """Phase B (host): candidate tables -> per-(octave, scale) job groups."""
+    h, w = st['h'], st['w']
+    n_scales = st['n_scales']
     # the bucketed dims can admit one more octave than the original crop
     # would (the host loop stops on the true dims); cull the extras
     n_host = 0
     hh, ww = 2 * h, 2 * w
-    for _ in range(n_octaves):
+    for _ in range(st['n_octaves']):
         n_host += 1
         if min(hh, ww) // 2 < 12:
             break
         hh, ww = (hh + 1) // 2, (ww + 1) // 2
 
-    # build (octave, scale) job groups from the candidate tables
     groups = []
     for o, tab in enumerate(tables[:n_host]):
         keep = tab[:, 7] > 0
@@ -470,39 +473,43 @@ def keypoints_from_array_tpu(arr, thresh_dog=0.0133, n_octaves=8,
             xs = tab[sel, 2] + tab[sel, 5]
             ss = tab[sel, 0] + tab[sel, 3]
             sigma = delta / DELTA_MIN * SIGMA_MIN * 2.0 ** (ss / n_scales)
-            oy, ox = slots[(o, s_idx)]
+            oy, ox = st['slots'][(o, s_idx)]
             groups.append(dict(
                 delta=delta, ys=ys, xs=xs, sigma=sigma,
                 sigma_oct=sigma / delta, oy=oy, ox=ox,
                 ylo=oy + 1.0, yhi=oy + ho - 2.0,
                 xlo=ox + 1.0, xhi=ox + wo - 2.0))
+    return groups
 
-    # phase 1: orientation histograms -- ONE merged job stream across every
-    # (octave, scale) group (the kernels take per-job atlas bounds, so the
-    # group structure carries no dispatch requirement; per-group chunking
-    # cost ~n_groups tunnel round-trips per image and dominated the
-    # pointing stage)
-    ori_kern = _ori_kernel_atlas()
 
+def _group_cols(groups, names_fns):
+    """Concatenate per-group per-job columns into one job stream."""
     def col(name, per_grp):
         return (name, np.concatenate([np.broadcast_to(
             np.asarray(per_grp(g), np.float32), (len(g['_jobs']),))
             for g in groups]) if groups else np.zeros(0, np.float32))
+    return [col(name, fn) for name, fn in names_fns]
 
+
+def _dispatch_ori(st, groups):
+    """Phase C dispatch: orientation histograms for ALL candidates of one
+    image as ONE merged job stream (no host sync)."""
     for g in groups:
         g['_jobs'] = g['ys']            # phase-1 jobs = all candidates
     n_all = sum(len(g['ys']) for g in groups)
-    cols = [col('y', lambda g: g['ys'] + g['oy']),
-            col('x', lambda g: g['xs'] + g['ox']),
-            col('s', lambda g: g['sigma_oct']),
-            col('ylo', lambda g: g['ylo']), col('yhi', lambda g: g['yhi']),
-            col('xlo', lambda g: g['xlo']), col('xhi', lambda g: g['xhi'])]
-    hist_all = np.concatenate(_fetch_all(
-        _dispatch_atlas(ori_kern, gmag, gori, cols, n_all)), axis=0)[:n_all] \
-        if n_all else np.zeros((0, N_BINS), np.float32)
+    cols = _group_cols(groups, [
+        ('y', lambda g: g['ys'] + g['oy']),
+        ('x', lambda g: g['xs'] + g['ox']),
+        ('s', lambda g: g['sigma_oct']),
+        ('ylo', lambda g: g['ylo']), ('yhi', lambda g: g['yhi']),
+        ('xlo', lambda g: g['xlo']), ('xhi', lambda g: g['xhi'])])
+    return _dispatch_atlas(_ori_kernel_atlas(), st['gmag'], st['gori'],
+                           cols, n_all), n_all
 
-    # phase 2: peaks -> descriptor jobs, again one merged stream
-    desc_kern = _desc_kernel_atlas()
+
+def _dispatch_desc(st, groups, hist_all):
+    """Phase D dispatch: histogram peaks -> oriented descriptor jobs, one
+    merged stream per image (no host sync)."""
     pos = 0
     for grp in groups:
         n = len(grp['ys'])
@@ -514,16 +521,18 @@ def keypoints_from_array_tpu(arr, thresh_dog=0.0133, n_octaves=8,
                                     dtype=np.float32)
         grp['_jobs'] = grp['job_kp']    # phase-2 jobs = oriented keypoints
     m_all = sum(len(g['job_kp']) for g in groups)
-    cols = [col('y', lambda g: g['ys'][g['job_kp']] + g['oy']),
-            col('x', lambda g: g['xs'][g['job_kp']] + g['ox']),
-            col('s', lambda g: g['sigma_oct'][g['job_kp']]),
-            col('t', lambda g: g['job_theta']),
-            col('ylo', lambda g: g['ylo']), col('yhi', lambda g: g['yhi']),
-            col('xlo', lambda g: g['xlo']), col('xhi', lambda g: g['xhi'])]
-    desc_all = np.concatenate(_fetch_all(
-        _dispatch_atlas(desc_kern, gmag, gori, cols, m_all)), axis=0)[:m_all] \
-        if m_all else np.zeros((0, 128), np.float32)
+    cols = _group_cols(groups, [
+        ('y', lambda g: g['ys'][g['job_kp']] + g['oy']),
+        ('x', lambda g: g['xs'][g['job_kp']] + g['ox']),
+        ('s', lambda g: g['sigma_oct'][g['job_kp']]),
+        ('t', lambda g: g['job_theta']),
+        ('ylo', lambda g: g['ylo']), ('yhi', lambda g: g['yhi']),
+        ('xlo', lambda g: g['xlo']), ('xhi', lambda g: g['xhi'])])
+    return _dispatch_atlas(_desc_kernel_atlas(), st['gmag'], st['gori'],
+                           cols, m_all), m_all
 
+
+def _assemble_rows(groups, desc_all, offset):
     pos = 0
     rows = []
     for grp in groups:
@@ -545,3 +554,67 @@ def keypoints_from_array_tpu(arr, thresh_dog=0.0133, n_octaves=8,
         kp[:, 0] += offset[0]
         kp[:, 1] += offset[1]
     return kp
+
+
+def _concat_fetched(handle_lists, counts, width):
+    """Fetch the chunked kernel outputs of MANY images together (one
+    async-copy wave), then split them back per image."""
+    flat = [h for hs in handle_lists for h in hs]
+    fetched = _fetch_all(flat)
+    outs = []
+    k = 0
+    for hs, n in zip(handle_lists, counts):
+        parts = fetched[k:k + len(hs)]
+        k += len(hs)
+        outs.append(np.concatenate(parts, axis=0)[:n] if parts
+                    else np.zeros((0, width), np.float32))
+    return outs
+
+
+def keypoints_from_arrays_tpu(arrs, thresh_dogs, offsets=None, n_octaves=8,
+                              n_scales=3):
+    """Device SIFT detection for MANY crops, pipelined across the tunnel.
+
+    Per-image results are bitwise identical to
+    :func:`keypoints_from_array_tpu` (each image's computation is
+    independent; only the dispatch/fetch interleaving changes).  The
+    phases run breadth-first over images so every device->host round trip
+    is shared by the whole batch: N crops cost 3 fetch waves total
+    instead of 3 waves each -- the stage-1 analogue of the batched
+    stage-4 matcher (reference fans per-tile SIFT processes,
+    parallel.py:58-110).
+    """
+    arrs = list(arrs)
+    if offsets is None:
+        offsets = [None] * len(arrs)
+    states = [_dispatch_pyramid(a, t, n_octaves, n_scales)
+              for a, t in zip(arrs, thresh_dogs)]
+
+    # one fetch wave for every image's candidate tables
+    flat_tables = [t for st in states for t in st['tables_dev']]
+    fetched = _fetch_all(flat_tables)
+    k = 0
+    all_groups = []
+    for st in states:
+        n = len(st['tables_dev'])
+        all_groups.append(_build_groups(st, fetched[k:k + n]))
+        k += n
+
+    ori = [_dispatch_ori(st, groups)
+           for st, groups in zip(states, all_groups)]
+    hists = _concat_fetched([h for h, _ in ori], [n for _, n in ori], N_BINS)
+
+    desc = [_dispatch_desc(st, groups, hist_all)
+            for st, groups, hist_all in zip(states, all_groups, hists)]
+    descs = _concat_fetched([h for h, _ in desc], [n for _, n in desc], 128)
+
+    return [_assemble_rows(groups, d, off)
+            for groups, d, off in zip(all_groups, descs, offsets)]
+
+
+def keypoints_from_array_tpu(arr, thresh_dog=0.0133, n_octaves=8,
+                             n_scales=3, offset=None):
+    """Device SIFT detection; same output contract as
+    sift.keypoints_from_array (rows of x, y, scale, orientation, 128-d)."""
+    return keypoints_from_arrays_tpu([arr], [thresh_dog], [offset],
+                                     n_octaves, n_scales)[0]

@@ -51,6 +51,16 @@ def clear_image_cache():
     _image.cache_clear()
 
 
+def _remove(*paths):
+    """Silent unlink of per-tile intermediates (reference common.py remove;
+    deletion sites mirror reference __init__.py:97,161,192,235,312,383,427)."""
+    for p in paths:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+
 def linear_stretching_and_quantization_8bit(img, p=1):
     """Percentile-stretched uint8 quantization (reference common.py:284-297)."""
     a, b = np.nanpercentile(img, (p, 100 - p))
@@ -149,13 +159,20 @@ def _alt_kwargs(cfg: Config):
 def pointing_correction(cfg: Config, tile, i):
     """Stage 1 (reference __init__.py:49-82): per-tile pointing translation."""
     x, y, w, h = tile['coordinates']
-    out_dir = os.path.join(tile['dir'], f'pair_{i}')
     img1, img2 = cfg.images[0], cfg.images[i]
     method = 'relative' if cfg.relative_sift_match_thresh else 'absolute'
     A, m = pointing.compute_correction(
         _image(img1.img), _image(img2.img), img1.rpcm, img2.rpcm, x, y, w, h,
         method, cfg.sift_match_thresh, cfg.max_pointing_error,
         cfg.n_gcp_per_axis, **_alt_kwargs(cfg))
+    _write_pointing_outputs(cfg, tile, i, A, m)
+
+
+def _write_pointing_outputs(cfg: Config, tile, i, A, m):
+    """Per-tile stage-1 file contract (reference __init__.py:49-82)."""
+    out_dir = os.path.join(tile['dir'], f'pair_{i}')
+    img1, img2 = cfg.images[0], cfg.images[i]
+    x, y, w, h = tile['coordinates']
     if A is not None:
         np.savetxt(os.path.join(out_dir, 'pointing.txt'), A, fmt='%6.3f')
     if m is not None:
@@ -163,12 +180,53 @@ def pointing_correction(cfg: Config, tile, i):
         np.savetxt(os.path.join(out_dir, 'center_keypts_sec.txt'),
                    np.mean(m[:, 2:], 0), fmt='%9.3f')
         if cfg.debug:
-            # debug-mode SIFT match plot (reference __init__.py:78-82)
             from .core import visualisation
             visualisation.plot_matches(
                 _image(img1.img), _image(img2.img), img1.rpcm, img2.rpcm, m,
                 os.path.join(out_dir, 'sift_matches_pointing.png'),
                 x, y, w, h)
+
+
+def pointing_correction_all(cfg: Config, tiles_pairs, timeout=600):
+    """Stage 1 driven as a batched device flow: ALL tile pairs' SIFT
+    detections run as one pipelined multi-crop wave and all match kernels
+    dispatch before one fetch (:func:`s2p_tpu.ops.sift.matches_on_rpc_roi_batch`);
+    the per-tile median-translation fit and file writes then fan out on
+    threads.  Falls back to the threaded per-tile path off-device.
+    Per-tile outputs equal the per-tile :func:`pointing_correction`."""
+    from .ops import sift as sift_ops
+
+    if not sift_ops._use_device_sift():
+        runner.launch_calls(lambda t, i: pointing_correction(cfg, t, i),
+                            tiles_pairs, None, timeout=timeout,
+                            debug=cfg.debug)
+        return
+
+    method = 'relative' if cfg.relative_sift_match_thresh else 'absolute'
+    jobs = []
+    for tile, i in tiles_pairs:
+        x, y, w, h = tile['coordinates']
+        img1, img2 = cfg.images[0], cfg.images[i]
+        jobs.append(dict(im1=_image(img1.img), im2=_image(img2.img),
+                         rpc1=img1.rpcm, rpc2=img2.rpcm,
+                         x=x, y=y, w=w, h=h, method=method,
+                         sift_thresh=cfg.sift_match_thresh,
+                         epipolar_threshold=cfg.max_pointing_error,
+                         alt_kwargs=_alt_kwargs(cfg)))
+    matches = sift_ops.matches_on_rpc_roi_batch(jobs)
+
+    def finish(item, m):
+        tile, i = item
+        x, y, w, h = tile['coordinates']
+        A = None
+        if m is not None:
+            A = pointing.local_translation(
+                cfg.images[0].rpcm, cfg.images[i].rpcm, x, y, w, h, m,
+                cfg.n_gcp_per_axis, **_alt_kwargs(cfg))
+        _write_pointing_outputs(cfg, tile, i, A, m)
+
+    runner.launch_calls(finish, list(zip(tiles_pairs, matches)), None,
+                        tilewise=False, timeout=timeout)
 
 
 def global_pointing_correction(cfg: Config, tiles):
@@ -183,18 +241,21 @@ def global_pointing_correction(cfg: Config, tiles):
                 corrections.append((np.loadtxt(pf), np.loadtxt(cf_)))
         out = os.path.join(cfg.out_dir, f'global_pointing_pair_{i}.txt')
         np.savetxt(out, pointing.global_from_local(corrections), fmt='%12.6f')
+        if cfg.clean_intermediate:
+            for t in tiles:   # reference __init__.py:97-99
+                _remove(os.path.join(t['dir'], f'pair_{i}',
+                                     'center_keypts_sec.txt'))
 
 
 # --------------------------------------------------------------------- #
 # Stage 3: rectification
 # --------------------------------------------------------------------- #
 
-def rectification_pair(cfg: Config, tile, i):
-    """Stage 3 (reference __init__.py:102-163): rectify a tile pair with the
-    SIFT-match halo from the 8 neighboring tiles."""
+def _rectification_inputs(cfg: Config, tile, i):
+    """Per-tile pointing + SIFT matches with the 8-neighbor halo
+    (reference __init__.py:118-145)."""
     out_dir = os.path.join(tile['dir'], f'pair_{i}')
     x, y, w, h = tile['coordinates']
-    img1, img2 = cfg.images[0], cfg.images[i]
     pointing_file = os.path.join(cfg.out_dir, f'global_pointing_pair_{i}.txt')
     try:
         A = np.loadtxt(os.path.join(out_dir, 'pointing.txt'))
@@ -224,6 +285,16 @@ def rectification_pair(cfg: Config, tile, i):
              (m_n[:, 1] - (y + h / 2)) / h], axis=0) < 3 / 4
         m_n = m_n[keep]
         m = m_n if m is None else np.concatenate([m, m_n])
+    return A, m
+
+
+def rectification_pair(cfg: Config, tile, i):
+    """Stage 3 (reference __init__.py:102-163): rectify a tile pair with the
+    SIFT-match halo from the 8 neighboring tiles."""
+    out_dir = os.path.join(tile['dir'], f'pair_{i}')
+    x, y, w, h = tile['coordinates']
+    img1, img2 = cfg.images[0], cfg.images[i]
+    A, m = _rectification_inputs(cfg, tile, i)
 
     rect1, rect2, H1, H2, disp_min, disp_max = rectification.rectify_pair(
         cfg, _image(img1.img), _image(img2.img), img1.rpcm, img2.rpcm,
@@ -236,6 +307,54 @@ def rectification_pair(cfg: Config, tile, i):
     np.savetxt(os.path.join(out_dir, 'H_sec.txt'), H2, fmt='%12.6f')
     np.savetxt(os.path.join(out_dir, 'disp_min_max.txt'),
                [disp_min, disp_max], fmt='%3.1f')
+
+
+def rectification_all(cfg: Config, tiles_pairs, timeout=600):
+    """Stage 3 driven as a batched device program.
+
+    The per-tile geometry (homographies, disparity ranges) is host numpy
+    and fans out on threads; the dense warps of ALL tiles then run as
+    vmapped device programs grouped by (source image, output bucket)
+    (:func:`s2p_tpu.ops.homography.warp_jobs_batched`) -- bitwise equal to
+    the per-tile warps since the warp is pointwise in output pixels.  This
+    replaces the reference's per-tile ``homography`` subprocess fan-out
+    (parallel.py:58-110).
+    """
+    from .ops.homography import warp_jobs_batched
+
+    def geometry(tile, i):
+        out_dir = os.path.join(tile['dir'], f'pair_{i}')
+        x, y, w, h = tile['coordinates']
+        img1, img2 = cfg.images[0], cfg.images[i]
+        A, m = _rectification_inputs(cfg, tile, i)
+        H1, H2, disp_min, disp_max, out_w, out_h = \
+            rectification.rectify_pair_geometry(
+                cfg, img1.rpcm, img2.rpcm, x, y, w, h, A=A,
+                sift_matches=m, method=cfg.rectification_method,
+                hmargin=cfg.horizontal_margin, vmargin=cfg.vertical_margin)
+        np.savetxt(os.path.join(out_dir, 'H_ref.txt'), H1, fmt='%12.6f')
+        np.savetxt(os.path.join(out_dir, 'H_sec.txt'), H2, fmt='%12.6f')
+        np.savetxt(os.path.join(out_dir, 'disp_min_max.txt'),
+                   [disp_min, disp_max], fmt='%3.1f')
+        return dict(out_dir=out_dir, img1=img1.img, img2=img2.img,
+                    H1=H1, H2=H2, w=out_w, h=out_h)
+
+    geoms = runner.launch_calls(geometry, tiles_pairs, None,
+                                timeout=timeout, debug=cfg.debug)
+
+    warp_jobs = []
+    for g in geoms:
+        warp_jobs.append((_image(g['img1']), g['H1'], g['w'], g['h']))
+        warp_jobs.append((_image(g['img2']), g['H2'], g['w'], g['h']))
+    rects = warp_jobs_batched(warp_jobs)
+
+    def write(g, rect1, rect2):
+        geotiff.write(os.path.join(g['out_dir'], 'rectified_ref.tif'), rect1)
+        geotiff.write(os.path.join(g['out_dir'], 'rectified_sec.tif'), rect2)
+
+    runner.launch_calls(write, [(g, rects[2 * k], rects[2 * k + 1])
+                                for k, g in enumerate(geoms)],
+                        None, tilewise=False, timeout=timeout)
 
 
 # --------------------------------------------------------------------- #
@@ -264,6 +383,18 @@ def stereo_matching(cfg: Config, tile, i):
     if conf is not None:
         geotiff.write(os.path.join(out_dir, 'rectified_disp_confidence.tif'),
                       np.asarray(conf, dtype=np.float32))
+    if cfg.clean_intermediate:
+        _clean_after_matching(cfg, out_dir)
+
+
+def _clean_after_matching(cfg: Config, out_dir):
+    """Reference __init__.py:192-196: the rectified secondary and the range
+    file are dead after matching; the reference keeps rectified_ref.tif in
+    pair mode (stage 5 reads it for the cloud colors)."""
+    if len(cfg.images) > 2:
+        _remove(os.path.join(out_dir, 'rectified_ref.tif'))
+    _remove(os.path.join(out_dir, 'rectified_sec.tif'),
+            os.path.join(out_dir, 'disp_min_max.txt'))
 
 
 def stereo_matching_all(cfg: Config, tiles_pairs, timeout=600):
@@ -395,6 +526,8 @@ def stereo_matching_all(cfg: Config, tiles_pairs, timeout=600):
             geotiff.write(os.path.join(j['out_dir'],
                                        'rectified_disp_confidence.tif'),
                           conf.astype(np.float32))
+            if cfg.clean_intermediate:
+                _clean_after_matching(cfg, j['out_dir'])
 
 
 # --------------------------------------------------------------------- #
@@ -409,9 +542,14 @@ def _tile_colors(cfg: Config, tile, shape_like):
     hh, ww = shape_like
     H_ref = np.loadtxt(os.path.join(out_dir, 'pair_1', 'H_ref.txt'))
     if cfg.images[0].clr:
-        clr = _image(cfg.images[0].clr)
-        warped = image_apply_homography(clr, H_ref, ww, hh)
-        return linear_stretching_and_quantization_8bit(warped)[None]
+        clr = _image(cfg.images[0].clr)    # (h, w) or (h, w, bands)
+        bands = [clr] if clr.ndim == 2 else \
+            [np.ascontiguousarray(clr[:, :, b]) for b in range(clr.shape[2])]
+        from .ops.homography import image_apply_homographies
+        warped = image_apply_homographies([(b, H_ref, ww, hh) for b in bands])
+        # reference __init__.py:270-279: the warped clr is used RAW (no
+        # 8-bit stretch) -- float colors in the PLY, like the reference's
+        return np.nan_to_num(np.stack(warped)).astype(np.float32)
     img = geotiff.read(os.path.join(out_dir, 'pair_1', 'rectified_ref.tif'))
     return linear_stretching_and_quantization_8bit(img)[None]
 
@@ -444,6 +582,15 @@ def _ply_tile_finish(cfg: Config, tile, job, xyz, err):
     proj_com = 'CRS {}'.format(cfg.out_crs)
     _write_tile_cloud(os.path.join(tile['dir'], 'cloud.ply'), xyz, colors,
                       proj_com, job['confidence'])
+    if cfg.clean_intermediate:
+        pdir = os.path.join(tile['dir'], 'pair_1')
+        # reference __init__.py:312-318 (after the colors are computed)
+        _remove(os.path.join(pdir, 'H_ref.txt'),
+                os.path.join(pdir, 'H_sec.txt'),
+                os.path.join(pdir, 'rectified_disp.tif'),
+                os.path.join(pdir, 'rectified_mask.png'),
+                os.path.join(pdir, 'rectified_ref.tif'),
+                os.path.join(tile['dir'], 'mask.png'))
 
 
 def disparity_to_ply(cfg: Config, tile):
@@ -513,6 +660,16 @@ def disparity_to_height(cfg: Config, tile, i):
                                     A=np.loadtxt(pointing_file))
     geotiff.write(os.path.join(out_dir, 'height_map.tif'),
                   hmap.astype(np.float32), nodata=float('nan'))
+    if cfg.clean_intermediate:
+        _clean_after_height_map(out_dir)
+
+
+def _clean_after_height_map(out_dir):
+    """Reference __init__.py:235-239."""
+    _remove(os.path.join(out_dir, 'H_ref.txt'),
+            os.path.join(out_dir, 'H_sec.txt'),
+            os.path.join(out_dir, 'rectified_disp.tif'),
+            os.path.join(out_dir, 'rectified_mask.png'))
 
 
 def disparity_to_height_all(cfg: Config, tiles_pairs, timeout=600):
@@ -552,6 +709,8 @@ def disparity_to_height_all(cfg: Config, tiles_pairs, timeout=600):
         geotiff.write(os.path.join(tile['dir'], f'pair_{i}',
                                    'height_map.tif'),
                       hmap.astype(np.float32), nodata=float('nan'))
+        if cfg.clean_intermediate:
+            _clean_after_height_map(os.path.join(tile['dir'], f'pair_{i}'))
 
     runner.launch_calls(finish, list(zip(zip(live, jobs), results)), None,
                         tilewise=False, timeout=timeout)
@@ -603,6 +762,8 @@ def heights_fusion(cfg: Config, tile):
                                    cfg.fusion_thresh)
     geotiff.write(os.path.join(tile_dir, 'height_map.tif'),
                   merged.astype(np.float32), nodata=float('nan'))
+    if cfg.clean_intermediate:
+        _remove(*paths)       # reference __init__.py:383-385
 
 
 def heights_to_ply(cfg: Config, tile):
@@ -613,8 +774,10 @@ def heights_to_ply(cfg: Config, tile):
     hmap = geotiff.read(os.path.join(out_dir, 'height_map.tif'))
 
     if cfg.images[0].clr:
-        colors = _image(cfg.images[0].clr)[y:y + h, x:x + w]
-        colors = linear_stretching_and_quantization_8bit(colors)[None]
+        # reference __init__.py:404-406: the clr window is used raw
+        colors = geotiff.read(cfg.images[0].clr, window=(x, y, w, h))
+        colors = colors[None] if colors.ndim == 2 \
+            else np.moveaxis(colors, 2, 0)
     else:
         img = _image(cfg.images[0].img)[y:y + h, x:x + w]
         colors = linear_stretching_and_quantization_8bit(img)[None]
@@ -625,6 +788,9 @@ def heights_to_ply(cfg: Config, tile):
         filter_xyz(xyz, cfg.filtering_3d_r, cfg.filtering_3d_n, cfg.gsd)
     _write_tile_cloud(os.path.join(out_dir, 'cloud.ply'), xyz, colors,
                       'CRS {}'.format(cfg.out_crs))
+    if cfg.clean_intermediate:
+        _remove(os.path.join(out_dir, 'height_map.tif'),   # ref :427-429
+                os.path.join(out_dir, 'mask.png'))
 
 
 # --------------------------------------------------------------------- #
@@ -750,6 +916,8 @@ def main(user_cfg, start_from=0):
     from .parallel import distributed as dist
     dist.init()     # no-op unless a multi-process run is configured
     cfg = build_cfg(user_cfg)
+    from .ops import sift as sift_ops
+    sift_ops.set_device_mode(cfg.sift_device)
 
     # initialization writes (out_dir tree, config snapshot, per-tile masks
     # and jsons, tiles.txt) happen ONCE, on the primary; the other
@@ -799,9 +967,7 @@ def main(user_cfg, start_from=0):
 
     if start_from <= 1:
         with _stage('1) correcting pointing locally...'):
-            runner.launch_calls(lambda t, i: pointing_correction(cfg, t, i),
-                                my_tiles_pairs, nb_workers, timeout=timeout,
-                                debug=cfg.debug)
+            pointing_correction_all(cfg, my_tiles_pairs, timeout=timeout)
         dist.barrier('pointing')
     if start_from <= 2:
         with _stage('2) correcting pointing globally...'):
@@ -813,9 +979,16 @@ def main(user_cfg, start_from=0):
     # unreliable; host-heavy stages (pointing, rasterization) stay threaded
     if start_from <= 3:
         with _stage('3) rectifying tiles...'):
-            runner.launch_calls(lambda t, i: rectification_pair(cfg, t, i),
-                                my_tiles_pairs, 1, timeout=timeout,
-                                debug=cfg.debug)
+            rectification_all(cfg, my_tiles_pairs, timeout=timeout)
+            if cfg.clean_intermediate:
+                # reference __init__.py:161-163 deletes per tile DURING the
+                # stage, racing the neighbor-halo reads of concurrent
+                # tiles; sweeping after the stage keeps the halo
+                # deterministic with the same post-stage file set
+                for t, i in my_tiles_pairs:
+                    d = os.path.join(t['dir'], f'pair_{i}')
+                    _remove(os.path.join(d, 'pointing.txt'),
+                            os.path.join(d, 'sift_matches.txt'))
         dist.barrier('rectification')
     if start_from <= 4:
         with _stage('4) running stereo matching...'):

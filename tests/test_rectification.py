@@ -67,3 +67,25 @@ def test_rectify_pair_with_matches(matches):
     y1 = points_apply_homography(H1, matches[:, :2])[:, 1]
     y2 = points_apply_homography(H2, matches[:, 2:])[:, 1]
     assert np.abs(y1 - y2).max() < 0.1
+
+
+def test_warp_jobs_batched_bitwise():
+    """Grouped vmapped warps == per-job warps (stage-3 batch contract:
+    the warp is pointwise in output pixels, so bucket padding + crop
+    changes nothing)."""
+    from s2p_tpu.ops.homography import (image_apply_homography,
+                                        warp_jobs_batched)
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 255, (200, 230)).astype(np.float32)
+    img[10:14, 40:44] = np.nan
+    Hs = [np.array([[1.01, 0.02, -30.0], [-0.01, 0.99, 12.0], [0, 0, 1.0]]),
+          np.array([[0.97, -0.03, 25.0], [0.02, 1.02, -8.0], [0, 0, 1.0]]),
+          np.eye(3)]
+    jobs = [(img, Hs[0], 150, 120), (img, Hs[1], 150, 120),
+            (img, Hs[2], 70, 60)]
+    batch = warp_jobs_batched(jobs)
+    for (im, H, w, h), b in zip(jobs, batch):
+        s = image_apply_homography(im, H, w, h)
+        assert b.shape == s.shape
+        assert np.array_equal(np.nan_to_num(s), np.nan_to_num(b))
+        assert np.array_equal(np.isnan(s), np.isnan(b))

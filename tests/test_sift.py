@@ -77,9 +77,9 @@ def test_device_sift_matches_host(triplet_img2, monkeypatch):
     """The device stages (MXU descriptor contraction, orientation
     histograms, matmul matcher) agree with the host implementations up to
     f32-vs-f64 accumulation noise."""
-    monkeypatch.setenv('S2P_TPU_SIFT_DEVICE', 'host')
+    monkeypatch.setattr(sift, '_DEVICE_MODE', 'host')
     kp_host = sift.image_keypoints(triplet_img2, 100, 100, 150, 150)
-    monkeypatch.setenv('S2P_TPU_SIFT_DEVICE', 'device')
+    monkeypatch.setattr(sift, '_DEVICE_MODE', 'device')
     kp_dev = sift.image_keypoints(triplet_img2, 100, 100, 150, 150)
     # same (keypoint, orientation) jobs up to borderline flips from the
     # f32 device blur/refinement (the host path accumulates in f64) and
@@ -97,8 +97,22 @@ def test_device_sift_matches_host(triplet_img2, monkeypatch):
     assert (diff <= 1).mean() > 0.99
 
     # device matcher == host matcher on identical inputs
-    monkeypatch.setenv('S2P_TPU_SIFT_DEVICE', 'host')
+    monkeypatch.setattr(sift, '_DEVICE_MODE', 'host')
     m_host = sift.keypoints_match(kp_host, kp_dev)
-    monkeypatch.setenv('S2P_TPU_SIFT_DEVICE', 'device')
+    monkeypatch.setattr(sift, '_DEVICE_MODE', 'device')
     m_dev = sift.keypoints_match(kp_host, kp_dev)
     assert abs(len(m_dev) - len(m_host)) <= max(2, 0.01 * len(m_host))
+
+
+def test_batched_detection_bitwise(triplet_img2, monkeypatch):
+    """The multi-crop pipelined detection wave returns per-image results
+    bitwise equal to the single-crop driver (stage-1 batch contract)."""
+    from s2p_tpu.ops.sift_tpu import (keypoints_from_array_tpu,
+                                      keypoints_from_arrays_tpu)
+    crops = [np.ascontiguousarray(triplet_img2[40:160, 50:190]),
+             np.ascontiguousarray(triplet_img2[200:300, 220:320])]
+    single = [keypoints_from_array_tpu(c, offset=(5, 7)) for c in crops]
+    batch = keypoints_from_arrays_tpu(crops, [0.0133] * 2, [(5, 7)] * 2)
+    for s, b in zip(single, batch):
+        assert s.shape == b.shape
+        assert np.array_equal(s, b)
