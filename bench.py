@@ -214,8 +214,10 @@ def run(n_dev):
 
 
 t1 = run(1)
+t2 = run(2)
 t8 = run(8)
-print(json.dumps({'tiles_per_s_1dev': t1, 'tiles_per_s_8dev': t8}))
+print(json.dumps({'tiles_per_s_1dev': t1, 'tiles_per_s_2dev': t2,
+                  'tiles_per_s_8dev': t8}))
 """
 
 
@@ -267,10 +269,20 @@ def main():
     try:
         sc = bench_scaling_virtual_mesh()
         ncore = os.cpu_count() or 1
-        speedup = sc['tiles_per_s_8dev'] / sc['tiles_per_s_1dev']
-        print(json.dumps({'metric': 'stage4_scaling_1_to_8_vdev',
-                          'speedup': round(speedup, 3),
+        # headline efficiency: 1 -> min(n_cores, 8) virtual devices.  On
+        # this host (2 cores) 8 vdevs oversubscribe the cores 4x and
+        # measure scheduling, not partition efficiency; 1 -> 2 on 2 cores
+        # is the point where ~2x is physically available.
+        n_eff = 2 if ncore >= 2 else 1
+        eff = sc['tiles_per_s_2dev'] / sc['tiles_per_s_1dev'] / 2 \
+            if n_eff == 2 else 1.0
+        print(json.dumps({'metric': 'stage4_scaling_vdev',
+                          'parallel_efficiency_1to2': round(eff, 3),
+                          'speedup_1to8': round(
+                              sc['tiles_per_s_8dev']
+                              / sc['tiles_per_s_1dev'], 3),
                           'tiles_per_s_1dev': round(sc['tiles_per_s_1dev'], 3),
+                          'tiles_per_s_2dev': round(sc['tiles_per_s_2dev'], 3),
                           'tiles_per_s_8dev': round(sc['tiles_per_s_8dev'], 3),
                           'host_cores': ncore,
                           'note': 'virtual CPU mesh: lower bound for chips'}),

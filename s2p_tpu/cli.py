@@ -23,7 +23,19 @@ def main():
     args = parser.parse_args()
 
     user_cfg = pipeline.read_config_file(args.config)
-    pipeline.main(user_cfg, start_from=args.start_from)
+    try:
+        pipeline.main(user_cfg, start_from=args.start_from)
+    except pipeline.runner.TimeoutError_ as e:
+        # a timed-out stage may leave daemon worker threads stuck inside
+        # device calls; a normal interpreter exit then aborts FATAL in the
+        # runtime teardown.  Report cleanly and hard-exit, the in-process
+        # analogue of the reference's child-process kill (common.py:70-94).
+        import os
+        import sys
+        print(f'\ns2p_tpu: aborted: {e}', file=sys.stderr)
+        sys.stderr.flush()
+        sys.stdout.flush()
+        os._exit(1)
 
     # backup input config inside the output directory
     try:

@@ -67,7 +67,42 @@ def count_3d_neighbors(xyz, r, p):
     return out
 
 
-def remove_isolated_3d_points(xyz, r, p, n, q=1, max_rescue_iters=64):
+def count_3d_neighbors_batch(xyzs, r, p):
+    """Neighbor counts for MANY tiles in one vmapped device dispatch.
+
+    Tiles pad to the max (h, w) with +inf coordinates; an inf neighbor
+    contributes distance inf (never counted) exactly like the single-tile
+    pad, so each cropped result is bitwise equal to
+    :func:`count_3d_neighbors` on that tile alone.  This folds the
+    per-tile stage-5-finish device round trips (one per tile through the
+    tunnel) into one.
+    """
+    import jax
+
+    xyzs = [np.asarray(a, dtype=np.float64) for a in xyzs]
+    H = max(a.shape[0] for a in xyzs)
+    W = max(a.shape[1] for a in xyzs)
+    batch = np.full((len(xyzs), H, W, 3), np.inf, np.float32)
+    finites = []
+    for k, a in enumerate(xyzs):
+        finite = np.isfinite(a).all(axis=-1)
+        finites.append(finite)
+        center = (np.nanmean(np.where(finite[..., None], a, np.nan),
+                             axis=(0, 1)) if finite.any() else np.zeros(3))
+        off = np.nan_to_num((a - center).astype(np.float32), nan=np.inf)
+        off[~finite] = np.inf
+        batch[k, :a.shape[0], :a.shape[1]] = off
+    counts = np.asarray(jax.vmap(_count_jit(float(r), int(p)))(batch))
+    out = []
+    for k, a in enumerate(xyzs):
+        c = counts[k, :a.shape[0], :a.shape[1]].copy()
+        c[~finites[k]] = 0
+        out.append(c)
+    return out
+
+
+def remove_isolated_3d_points(xyz, r, p, n, q=1, max_rescue_iters=64,
+                              count=None):
     """NaN-out (in place) points with < n neighbors, with rescue.
 
     A point is rejected when it has fewer than ``n`` 3D neighbors within
@@ -79,7 +114,8 @@ def remove_isolated_3d_points(xyz, r, p, n, q=1, max_rescue_iters=64):
     """
     xyz = np.asarray(xyz)
     valid = np.isfinite(xyz).all(axis=-1)
-    count = count_3d_neighbors(xyz, r, p)
+    if count is None:
+        count = count_3d_neighbors(xyz, r, p)
     rejected = valid & (count < n)
 
     x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
@@ -112,7 +148,11 @@ def remove_isolated_3d_points(xyz, r, p, n, q=1, max_rescue_iters=64):
     return xyz
 
 
-def filter_xyz(xyz, r, n, img_gsd):
-    """Radius/count outlier filter (reference triangulation.py:346-365)."""
+def filter_xyz(xyz, r, n, img_gsd, count=None):
+    """Radius/count outlier filter (reference triangulation.py:346-365).
+
+    ``count`` optionally supplies a precomputed neighbor count (the
+    batched stage-5 driver computes all tiles' counts in one device
+    dispatch, :func:`count_3d_neighbors_batch`)."""
     p = int(np.ceil(r / img_gsd))
-    return remove_isolated_3d_points(xyz, r, p, n)
+    return remove_isolated_3d_points(xyz, r, p, n, count=count)

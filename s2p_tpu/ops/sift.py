@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
+import time
 
 import numpy as np
 
@@ -803,6 +804,13 @@ def matches_on_rpc_roi_batch(jobs):
     pending = list(range(n_jobs))
     thresh_dog = {k: 0.0133 for k in pending}
     use_device = _use_device_sift()
+    t_last = time.perf_counter()
+
+    def tick(label):
+        nonlocal t_last
+        now = time.perf_counter()
+        print(f'    stage1 {label}: {now - t_last:.2f} s', flush=True)
+        t_last = now
 
     for _ in range(2):
         if not pending:
@@ -822,6 +830,7 @@ def matches_on_rpc_roi_batch(jobs):
         else:
             kps = [keypoints_from_array(c, t, offset=o)
                    for c, t, o in zip(crops, ths, offs)]
+        tick(f'detection wave ({len(crops)} crops)')
 
         # match wave: dispatch every pair's kernel, then fetch together
         match_in = []
@@ -852,6 +861,7 @@ def matches_on_rpc_roi_batch(jobs):
                     k1p, k2p, len(k1), len(k2), fc, np.float32(gate)))
             flat = [h for hs in handles if hs is not None for h in hs]
             _fetch_all(flat)
+            tick(f'match wave ({len(match_in)} pairs)')
             for (k, k1, k2, fc, gate), hs in zip(match_in, handles):
                 if hs is None:
                     finished[k] = np.zeros((0, 4), np.float32)
@@ -868,6 +878,7 @@ def matches_on_rpc_roi_batch(jobs):
                     epipolar_threshold=jobs[k]['epipolar_threshold'],
                     model='fundamental')
 
+        tick('ransac/finish')
         still = []
         for k in pending:
             m = finished[k]

@@ -47,12 +47,18 @@ _MARGIN = 64          # atlas outer margin (>= max patch radius)
 _R_ORI = 24           # shared orientation patch radius (covers sigma_oct<=5)
 _R_DESC = 56          # shared descriptor patch radius
 _K0 = 8192            # candidate capacity, octave 0 (halved per octave)
+_WAVE = 16            # crops per breadth-first detection wave (memory cap)
 
 
-def _octave_layout(hb, wb, n_octaves):
+def _octave_layout(hb, wb, n_octaves, atlas_hw=None):
     """Static per-octave field sizes for a padded crop (hb, wb) and the
     atlas slot offsets.  Octaves stop when the NEXT octave would have
-    min dim < 24 (the host loop's `min//2 < 12` break)."""
+    min dim < 24 (the host loop's `min//2 < 12` break).
+
+    ``atlas_hw`` optionally pads the atlas to a larger common shape so the
+    shape-polymorphic orientation/descriptor/gradient kernels compile ONCE
+    per scene instead of once per crop bucket (values are unaffected:
+    every atlas read is bounded by per-job field coordinates)."""
     sizes = []
     h, w = 2 * hb, 2 * wb
     for _ in range(n_octaves):
@@ -72,6 +78,9 @@ def _octave_layout(hb, wb, n_octaves):
         y += ho + _MARGIN
     Ha = -(-(y + _MARGIN) // 8) * 8
     Wa = -(-(width + _MARGIN) // 128) * 128
+    if atlas_hw is not None:
+        assert atlas_hw[0] >= Ha and atlas_hw[1] >= Wa, (atlas_hw, Ha, Wa)
+        Ha, Wa = atlas_hw
     return sizes, slots, (Ha, Wa)
 
 
@@ -213,7 +222,7 @@ def _refine_device(dog, cand_s, cand_y, cand_x, alive0, c_dog, ho, wo):
 
 
 @functools.lru_cache(maxsize=8)
-def _pyramid_program(hb, wb, n_octaves, n_scales):
+def _pyramid_program(hb, wb, n_octaves, n_scales, atlas_hw=None):
     """Jitted: padded crop -> (atlas, per-octave candidate tables).
 
     Static on the bucketed crop shape only.  ``thresh`` and the original
@@ -224,7 +233,7 @@ def _pyramid_program(hb, wb, n_octaves, n_scales):
     import jax.numpy as jnp
 
     assert n_scales == N_SPO
-    sizes, slots, (Ha, Wa) = _octave_layout(hb, wb, n_octaves)
+    sizes, slots, (Ha, Wa) = _octave_layout(hb, wb, n_octaves, atlas_hw)
 
     def program(img, h, w, thresh):
         sigma0 = math.sqrt(SIGMA_MIN ** 2 - SIGMA_IN ** 2) / DELTA_MIN
@@ -278,6 +287,7 @@ def _pyramid_program(hb, wb, n_octaves, n_scales):
     return jax.jit(program)
 
 
+@functools.lru_cache(maxsize=8)
 def _grad_fields_atlas():
     import jax
     import jax.numpy as jnp
@@ -419,15 +429,30 @@ def _dispatch_atlas(kern, gmag, gori, cols, n):
     return handles
 
 
-def _dispatch_pyramid(arr, thresh_dog, n_octaves, n_scales):
+def _crop_bucket(arr):
+    """Padded crop shape: 128-px grid.  Coarser than strictly necessary
+    on purpose -- every distinct bucket is a compiled pyramid program plus
+    a distinct atlas shape for the orientation/descriptor/gradient
+    kernels, and each one costs a cold compile (minutes through the
+    tunnel) or a cache-load + first-execution (~2 s) in EVERY fresh
+    process.  128-rounding collapses the reference pair scene from 5
+    bucket shapes to 3.  NOTE the bucket choice is part of the output
+    contract: mirror padding does not commute with the pyramid
+    decimation at deep octaves, so a crop's keypoints are only
+    reproducible at the SAME bucket -- which is why this is a fixed
+    deterministic rule, not a scene-dependent clustering."""
+    h, w = arr.shape
+    return (-(-h // 128) * 128, -(-w // 128) * 128)
+
+
+def _dispatch_pyramid(arr, thresh_dog, n_octaves, n_scales, bucket=None):
     """Phase A (no host sync): pad, dispatch the pyramid program and the
     gradient fields; returns a state dict of DEVICE handles + metadata."""
     import jax.numpy as jnp
 
     arr = np.asarray(arr, dtype=np.float32)
     h, w = arr.shape
-    hb = -(-h // 64) * 64
-    wb = -(-w // 64) * 64
+    hb, wb = bucket if bucket is not None else _crop_bucket(arr)
     # symmetric-pad to the bucket (numpy symmetric == IPOL half-sample
     # reflection); symmetric extension commutes with the blur cascade
     img = np.pad(arr, ((0, hb - h), (0, wb - w)), mode='symmetric') \
@@ -584,15 +609,29 @@ def keypoints_from_arrays_tpu(arrs, thresh_dogs, offsets=None, n_octaves=8,
     stage-4 matcher (reference fans per-tile SIFT processes,
     parallel.py:58-110).
     """
+    import time as _time
+    _t0 = _time.perf_counter()
     arrs = list(arrs)
     if offsets is None:
         offsets = [None] * len(arrs)
-    states = [_dispatch_pyramid(a, t, n_octaves, n_scales)
-              for a, t in zip(arrs, thresh_dogs)]
+    buckets = [_crop_bucket(np.asarray(a)) for a in arrs]
+    # memory bound: at most _WAVE crops' atlases + gradient fields live on
+    # device at once (each is ~3 fields of the full pyramid)
+    if len(arrs) > _WAVE:
+        out = []
+        for i in range(0, len(arrs), _WAVE):
+            out.extend(keypoints_from_arrays_tpu(
+                arrs[i:i + _WAVE], list(thresh_dogs)[i:i + _WAVE],
+                offsets[i:i + _WAVE], n_octaves, n_scales))
+        return out
+    states = [_dispatch_pyramid(a, t, n_octaves, n_scales, bucket=b)
+              for a, t, b in zip(arrs, thresh_dogs, buckets)]
+    _t1 = _time.perf_counter()
 
     # one fetch wave for every image's candidate tables
     flat_tables = [t for st in states for t in st['tables_dev']]
     fetched = _fetch_all(flat_tables)
+    _t2 = _time.perf_counter()
     k = 0
     all_groups = []
     for st in states:
@@ -603,10 +642,19 @@ def keypoints_from_arrays_tpu(arrs, thresh_dogs, offsets=None, n_octaves=8,
     ori = [_dispatch_ori(st, groups)
            for st, groups in zip(states, all_groups)]
     hists = _concat_fetched([h for h, _ in ori], [n for _, n in ori], N_BINS)
+    _t3 = _time.perf_counter()
 
     desc = [_dispatch_desc(st, groups, hist_all)
             for st, groups, hist_all in zip(states, all_groups, hists)]
     descs = _concat_fetched([h for h, _ in desc], [n for _, n in desc], 128)
+    _t4 = _time.perf_counter()
+    import os as _os
+    if _os.environ.get('S2P_TPU_SIFT_TIMING'):
+        n_ori = sum(n for _, n in ori)
+        n_desc = sum(n for _, n in desc)
+        print(f'      sift wave: dispatch {_t1-_t0:.2f}s tables '
+              f'{_t2-_t1:.2f}s ori {_t3-_t2:.2f}s ({n_ori} jobs) desc '
+              f'{_t4-_t3:.2f}s ({n_desc} jobs)', flush=True)
 
     return [_assemble_rows(groups, d, off)
             for groups, d, off in zip(all_groups, descs, offsets)]

@@ -574,10 +574,11 @@ def _ply_tile_job(cfg: Config, tile):
     )
 
 
-def _ply_tile_finish(cfg: Config, tile, job, xyz, err):
+def _ply_tile_finish(cfg: Config, tile, job, xyz, err, count=None):
     """Host post of one tile: 3D filter, colors, PLY write."""
     if cfg.filtering_3d_r and cfg.filtering_3d_n:
-        filter_xyz(xyz, cfg.filtering_3d_r, cfg.filtering_3d_n, cfg.gsd)
+        filter_xyz(xyz, cfg.filtering_3d_r, cfg.filtering_3d_n, cfg.gsd,
+                   count=count)
     colors = _tile_colors(cfg, tile, job['disp'].shape)
     proj_com = 'CRS {}'.format(cfg.out_crs)
     _write_tile_cloud(os.path.join(tile['dir'], 'cloud.ply'), xyz, colors,
@@ -620,9 +621,19 @@ def disparity_to_ply_all(cfg: Config, tiles, timeout=600):
         return
     results = triangulation.disp_to_xyz_batch(
         [j for _, j in live], out_crs=crsmod.CRS(cfg.out_crs))
+    counts = [None] * len(results)
+    if cfg.filtering_3d_r and cfg.filtering_3d_n:
+        # all tiles' neighbor counts in ONE vmapped dispatch (the per-tile
+        # count was one device round trip per tile inside the finish)
+        from .ops.filtering import count_3d_neighbors_batch
+        p = int(np.ceil(cfg.filtering_3d_r / cfg.gsd))
+        counts = count_3d_neighbors_batch([r[0] for r in results],
+                                          cfg.filtering_3d_r, p)
     runner.launch_calls(
-        lambda tj, res: _ply_tile_finish(cfg, tj[0], tj[1], res[0], res[1]),
-        list(zip(live, results)), None, tilewise=False, timeout=timeout)
+        lambda tj, res, cnt: _ply_tile_finish(cfg, tj[0], tj[1], res[0],
+                                              res[1], count=cnt),
+        list(zip(live, results, counts)), None, tilewise=False,
+        timeout=timeout)
 
 
 def _write_tile_cloud(path, xyz, colors, proj_com, confidence=None):
@@ -1010,7 +1021,7 @@ def main(user_cfg, start_from=0):
                 print('5d) merging height maps and computing point clouds...')
                 runner.launch_calls(lambda t: heights_to_ply(cfg, t),
                                     my_tiles, nb_workers, timeout=timeout,
-                                    debug=cfg.debug)
+                                    debug=cfg.debug, warmup_first=True)
         else:
             with _stage('5) triangulating tiles...'):
                 disparity_to_ply_all(cfg, my_tiles, timeout=timeout)

@@ -93,7 +93,8 @@ def _tile_log_path(item):
 
 
 def launch_calls(fun, list_of_args, nb_workers=None, *extra_args,
-                 tilewise=True, timeout=600, debug=False):
+                 tilewise=True, timeout=600, debug=False,
+                 warmup_first=False):
     """Run ``fun`` over work items concurrently.
 
     Args:
@@ -104,6 +105,12 @@ def launch_calls(fun, list_of_args, nb_workers=None, *extra_args,
         tilewise: when True, each call's stdout/stderr is appended to the
             tile's stdout.log (unless debug).
         timeout: seconds to wait for each call before raising.
+        warmup_first: run the FIRST item alone with no deadline before
+            fanning out the rest.  For stage functions whose first call
+            jit-compiles device programs, this excludes compile time from
+            the execution deadline (the reference's per-tile timeout,
+            config.py:50, predates compilation and cannot be applied
+            verbatim to a compile+execute runtime).
 
     Returns:
         list of results in input order; raises the first child exception.
@@ -111,6 +118,12 @@ def launch_calls(fun, list_of_args, nb_workers=None, *extra_args,
     n = len(list_of_args)
     if n == 0:
         return []
+    if warmup_first and timeout is not None and n > 1:
+        head = launch_calls(fun, list_of_args[:1], 1, *extra_args,
+                            tilewise=tilewise, timeout=None, debug=debug)
+        tail = launch_calls(fun, list_of_args[1:], nb_workers, *extra_args,
+                            tilewise=tilewise, timeout=timeout, debug=debug)
+        return head + tail
     nb_workers = nb_workers or min(8, n)
     done_count = [0]
 
@@ -192,6 +205,12 @@ def launch_calls(fun, list_of_args, nb_workers=None, *extra_args,
                                if timeout is not None and now - t0 > timeout]
                 if overdue:
                     cancel.set()
+                    # grace join: cooperative workers (checkpoint()) exit
+                    # promptly; a thread stuck inside a device call stays
+                    # daemon and must not be waited on forever
+                    deadline = time.monotonic() + 10.0
+                    for t in threads:
+                        t.join(max(0.0, deadline - time.monotonic()))
                     raise TimeoutError_(
                         f'tile call {overdue[0]} did not complete within '
                         f'{timeout} s')

@@ -103,3 +103,40 @@ def test_distributed_plyflatten(triplet_run):
         clouds_list, resolution=cfg['dsm_resolution'], roi=None)
     expected = raster[:, :, 0]
     compare_dsm(computed, expected, 0, 0)
+
+
+@pytest.fixture(scope='session')
+def pair_run_mgm_multi(tmp_path_factory):
+    out = tmp_path_factory.mktemp('e2e_pair_multi')
+    cfg = pipeline.read_config_file(data_path('input_pair/config.json'))
+    cfg['out_dir'] = str(out)
+    cfg['matching_algorithm'] = 'mgm_multi'
+    pipeline.main(cfg)
+    return cfg, out
+
+
+@pytest.mark.e2e
+def test_end2end_pair_mgm_multi(pair_run_mgm_multi):
+    """Scene-level gate for the mgm_multi cascade (s2p's production
+    matcher for real scenes, reference block_matching.py:268-310).
+
+    The committed golden DSM is an mgm product, so the comparison runs at
+    the triplet-class tolerances (0.05 m mean / 2 m p99) plus a 5%
+    valid-count band: the multiscale cascade is more conservative than
+    plain mgm (speckle filter, per-level LR) and keeps ~2% fewer pixels.
+    Measured on this scene (2026-08, committed log
+    logs/pair_cpu_multi_r4.log): mean -0.029 m, p99 1.71 m, valid count
+    -2.1% vs golden.
+    """
+    _, out = pair_run_mgm_multi
+    computed = geotiff.read_with_nans(os.path.join(out, 'dsm.tif'))
+    expected = geotiff.read_with_nans(
+        data_path('expected_output/pair/dsm.tif'))
+    np.testing.assert_equal(computed.shape, expected.shape)
+    n_computed = np.count_nonzero(np.isfinite(computed))
+    n_expected = np.count_nonzero(np.isfinite(expected))
+    np.testing.assert_allclose(n_computed, n_expected, rtol=.05)
+    diff = computed - expected
+    diff = diff[np.isfinite(diff)]
+    assert np.abs(np.mean(diff)) <= 0.05
+    assert np.nanpercentile(np.abs(diff), 99) <= 2.0

@@ -184,3 +184,20 @@ def test_stage4_always_takes_batched_path(tmp_path, monkeypatch, algo,
     import os
     assert os.path.exists(os.path.join(tile['dir'], 'pair_1',
                                        'rectified_disp.tif'))
+
+
+def test_count_3d_neighbors_batch_bitwise():
+    """The one-dispatch batched neighbor count equals per-tile counts
+    (stage-5 finish contract)."""
+    from s2p_tpu.ops.filtering import (count_3d_neighbors,
+                                       count_3d_neighbors_batch)
+    rng = np.random.default_rng(0)
+    tiles = []
+    for shape in [(60, 70), (55, 70), (60, 64)]:
+        a = rng.uniform(0, 30, (*shape, 3)).astype(np.float64)
+        a[rng.random(shape) < 0.1] = np.nan
+        tiles.append(a)
+    single = [count_3d_neighbors(t, 5.0, 3) for t in tiles]
+    batch = count_3d_neighbors_batch(tiles, 5.0, 3)
+    for s, b in zip(single, batch):
+        assert np.array_equal(s, b)

@@ -2,6 +2,7 @@
 (mirrors /root/reference/tests/parallel_test.py, common_test.py,
 block_matching_test.py error paths)."""
 
+import threading
 import time
 
 import numpy as np
@@ -129,3 +130,42 @@ def test_checkpoint_raises_when_cancelled():
             runner.checkpoint()
     finally:
         runner._cancel_stack.pop()
+
+
+def test_warmup_first_excludes_compile_time():
+    """warmup_first runs the first item with NO deadline (jit compiles of
+    the first call must not eat the execution budget) and arms the
+    per-call deadline for the rest."""
+    slow_once = {'done': False}
+
+    def fn(i):
+        if not slow_once['done']:
+            slow_once['done'] = True
+            time.sleep(1.2)    # "compile" far beyond the deadline
+        return i * 2
+
+    r = runner.launch_calls(fn, list(range(5)), 2, timeout=0.8,
+                            tilewise=False, warmup_first=True)
+    assert r == [0, 2, 4, 6, 8]
+
+
+def test_timeout_leaves_interpreter_usable():
+    """A deadline abort raises TimeoutError_ on the driver and the runner
+    keeps working afterwards (no wedged global state)."""
+    def hang(i):
+        if i == 0:
+            # cooperative worker: polls the cancellation flag like the
+            # device stage functions do between dispatches
+            for _ in range(400):
+                if runner.cancelled():
+                    return i
+                time.sleep(0.05)
+        return i
+
+    t0 = time.monotonic()
+    with pytest.raises(runner.TimeoutError_):
+        runner.launch_calls(hang, [0, 1], 2, timeout=0.3, tilewise=False)
+    # the grace join reaped the cooperative worker promptly
+    assert time.monotonic() - t0 < 4.0
+    assert runner.launch_calls(lambda i: i + 1, [1, 2], 2, tilewise=False,
+                               timeout=5) == [2, 3]

@@ -116,3 +116,18 @@ def test_batched_detection_bitwise(triplet_img2, monkeypatch):
     for s, b in zip(single, batch):
         assert s.shape == b.shape
         assert np.array_equal(s, b)
+
+
+def test_bucket_rule_shared_by_single_and_batch(triplet_img2):
+    """Single-crop and batch detection use the SAME deterministic bucket
+    rule (the bucket is part of the output contract: mirror padding does
+    not commute with pyramid decimation at deep octaves), and crops of
+    different true sizes inside one 128-bucket share one program."""
+    from s2p_tpu.ops import sift_tpu as st
+    a = np.ascontiguousarray(triplet_img2[40:160, 50:190])    # (120, 140)
+    b = np.ascontiguousarray(triplet_img2[210:330, 170:400])  # (120, 230)
+    assert st._crop_bucket(a) == st._crop_bucket(b) == (128, 256)
+    own = [st.keypoints_from_arrays_tpu([c], [0.0133])[0] for c in (a, b)]
+    both = st.keypoints_from_arrays_tpu([a, b], [0.0133] * 2)
+    for s_, b_ in zip(own, both):
+        assert np.array_equal(s_, b_)
