@@ -777,8 +777,8 @@ def heights_fusion(cfg: Config, tile):
         _remove(*paths)       # reference __init__.py:383-385
 
 
-def heights_to_ply(cfg: Config, tile):
-    """Stage 5d part 2 (reference __init__.py:388-429)."""
+def _heights_tile_xyz(cfg: Config, tile):
+    """Stage 5d per-tile host half: fusion + colors + localization."""
     heights_fusion(cfg, tile)
     out_dir = tile['dir']
     x, y, w, h = tile['coordinates']
@@ -795,13 +795,46 @@ def heights_to_ply(cfg: Config, tile):
 
     xyz = triangulation.height_map_to_xyz(hmap, cfg.images[0].rpcm, x, y,
                                           crsmod.CRS(cfg.out_crs))
+    return xyz, colors
+
+
+def _heights_tile_finish(cfg: Config, tile, xyz, colors, count=None):
+    """Stage 5d per-tile tail: 3D filter, PLY write, cleanup."""
+    out_dir = tile['dir']
     if cfg.filtering_3d_r and cfg.filtering_3d_n:
-        filter_xyz(xyz, cfg.filtering_3d_r, cfg.filtering_3d_n, cfg.gsd)
+        filter_xyz(xyz, cfg.filtering_3d_r, cfg.filtering_3d_n, cfg.gsd,
+                   count=count)
     _write_tile_cloud(os.path.join(out_dir, 'cloud.ply'), xyz, colors,
                       'CRS {}'.format(cfg.out_crs))
     if cfg.clean_intermediate:
         _remove(os.path.join(out_dir, 'height_map.tif'),   # ref :427-429
                 os.path.join(out_dir, 'mask.png'))
+
+
+def heights_to_ply(cfg: Config, tile):
+    """Stage 5d part 2 (reference __init__.py:388-429)."""
+    xyz, colors = _heights_tile_xyz(cfg, tile)
+    _heights_tile_finish(cfg, tile, xyz, colors)
+
+
+def heights_to_ply_all(cfg: Config, tiles, timeout=600):
+    """Stage 5d with the neighbor counts of ALL tiles in one vmapped
+    dispatch (the triplet analogue of disparity_to_ply_all's batch;
+    per-tile results identical)."""
+    prepped = runner.launch_calls(
+        lambda t: _heights_tile_xyz(cfg, t), tiles, None, timeout=timeout,
+        debug=cfg.debug, warmup_first=True)
+    counts = [None] * len(tiles)
+    if cfg.filtering_3d_r and cfg.filtering_3d_n:
+        from .ops.filtering import count_3d_neighbors_batch
+        p = int(np.ceil(cfg.filtering_3d_r / cfg.gsd))
+        counts = count_3d_neighbors_batch([x for x, _ in prepped],
+                                          cfg.filtering_3d_r, p)
+    runner.launch_calls(
+        lambda t, xc, cnt: _heights_tile_finish(cfg, t, xc[0], xc[1],
+                                                count=cnt),
+        list(zip(tiles, prepped, counts)), None, tilewise=False,
+        timeout=timeout)
 
 
 # --------------------------------------------------------------------- #
@@ -1019,9 +1052,7 @@ def main(user_cfg, start_from=0):
                     global_mean_heights(cfg, tiles)
                 dist.barrier('global_mean_heights')
                 print('5d) merging height maps and computing point clouds...')
-                runner.launch_calls(lambda t: heights_to_ply(cfg, t),
-                                    my_tiles, nb_workers, timeout=timeout,
-                                    debug=cfg.debug, warmup_first=True)
+                heights_to_ply_all(cfg, my_tiles, timeout=timeout)
         else:
             with _stage('5) triangulating tiles...'):
                 disparity_to_ply_all(cfg, my_tiles, timeout=timeout)
