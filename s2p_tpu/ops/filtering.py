@@ -80,6 +80,11 @@ def count_3d_neighbors_batch(xyzs, r, p):
     import jax
 
     xyzs = [np.asarray(a, dtype=np.float64) for a in xyzs]
+    if len(xyzs) > 16:     # bound device memory on large scenes
+        out = []
+        for i in range(0, len(xyzs), 16):
+            out.extend(count_3d_neighbors_batch(xyzs[i:i + 16], r, p))
+        return out
     H = max(a.shape[0] for a in xyzs)
     W = max(a.shape[1] for a in xyzs)
     batch = np.full((len(xyzs), H, W, 3), np.inf, np.float32)

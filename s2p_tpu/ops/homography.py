@@ -135,17 +135,19 @@ def warp_jobs_batched(jobs, order=5):
         groups.setdefault((id(img), hb, wb), []).append((k, hinv))
 
     handles = [None] * len(jobs)
-    for (key, hb, wb), members in groups.items():
+    for (key, hb, wb), all_members in groups.items():
         coeffs, mask = srcs[key]
-        n = len(members)
-        n_pad = 1 << max(0, (n - 1).bit_length())   # pad batch: pow2 shapes
-        hinvs = np.stack([hv for _, hv in members]
-                         + [members[0][1]] * (n_pad - n))
         fn = _warp_batch_jit(tuple(coeffs.shape), hb, wb, order,
                              mask is not None)
-        out = fn(coeffs, mask, hinvs)
-        for row, (k, _) in enumerate(members):
-            handles[k] = out[row]
+        for i in range(0, len(all_members), 64):   # bound device memory
+            members = all_members[i:i + 64]
+            n = len(members)
+            n_pad = 1 << max(0, (n - 1).bit_length())  # pow2 batch shapes
+            hinvs = np.stack([hv for _, hv in members]
+                             + [members[0][1]] * (n_pad - n))
+            out = fn(coeffs, mask, hinvs)
+            for row, (k, _) in enumerate(members):
+                handles[k] = out[row]
     for a in handles:
         a.copy_to_host_async()
     return [np.asarray(a)[:int(h), :int(w)]
