@@ -97,7 +97,18 @@ def count_3d_neighbors_batch(xyzs, r, p):
         off = np.nan_to_num((a - center).astype(np.float32), nan=np.inf)
         off[~finite] = np.inf
         batch[k, :a.shape[0], :a.shape[1]] = off
-    counts = np.asarray(jax.vmap(_count_jit(float(r), int(p)))(batch))
+    arg = batch
+    if jax.local_device_count() > 1:
+        # shard the tile axis over local devices (stage-4/5 contract)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import TileMesh
+        n_dev = jax.local_device_count()
+        pad = (-len(xyzs)) % n_dev
+        if pad:
+            arg = np.concatenate([batch, batch[:1].repeat(pad, 0)])
+        mesh = TileMesh(devices=jax.local_devices()).mesh
+        arg = jax.device_put(arg, NamedSharding(mesh, P('tiles')))
+    counts = np.asarray(jax.vmap(_count_jit(float(r), int(p)))(arg))
     out = []
     for k, a in enumerate(xyzs):
         c = counts[k, :a.shape[0], :a.shape[1]].copy()

@@ -134,6 +134,22 @@ def warp_jobs_batched(jobs, order=5):
             .astype(np.float32)
         groups.setdefault((id(img), hb, wb), []).append((k, hinv))
 
+    # multi-chip: shard the batch (tile) axis over the process-local
+    # devices, coefficients replicated -- same partitioning contract as
+    # the batched stage-4 matcher (values unchanged: the warp is
+    # independent per batch row)
+    n_dev = jax.local_device_count()
+    shard = repl = None
+    if n_dev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import TileMesh
+        mesh = TileMesh(devices=jax.local_devices()).mesh
+        shard = NamedSharding(mesh, P('tiles'))
+        repl = NamedSharding(mesh, P())
+        srcs = {k: (jax.device_put(c, repl),
+                    None if m is None else jax.device_put(m, repl))
+                for k, (c, m) in srcs.items()}
+
     handles = [None] * len(jobs)
     for (key, hb, wb), all_members in groups.items():
         coeffs, mask = srcs[key]
@@ -143,8 +159,11 @@ def warp_jobs_batched(jobs, order=5):
             members = all_members[i:i + 64]
             n = len(members)
             n_pad = 1 << max(0, (n - 1).bit_length())  # pow2 batch shapes
+            n_pad = max(n_pad, n_dev)
             hinvs = np.stack([hv for _, hv in members]
                              + [members[0][1]] * (n_pad - n))
+            if shard is not None:
+                hinvs = jax.device_put(hinvs, shard)
             out = fn(coeffs, mask, hinvs)
             for row, (k, _) in enumerate(members):
                 handles[k] = out[row]

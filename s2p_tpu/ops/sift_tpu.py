@@ -445,9 +445,13 @@ def _crop_bucket(arr):
     return (-(-h // 128) * 128, -(-w // 128) * 128)
 
 
-def _dispatch_pyramid(arr, thresh_dog, n_octaves, n_scales, bucket=None):
+def _dispatch_pyramid(arr, thresh_dog, n_octaves, n_scales, bucket=None,
+                      device=None):
     """Phase A (no host sync): pad, dispatch the pyramid program and the
-    gradient fields; returns a state dict of DEVICE handles + metadata."""
+    gradient fields; returns a state dict of DEVICE handles + metadata.
+    ``device`` pins the crop's whole detection to one local device (the
+    multi-chip wave round-robins crops across local devices)."""
+    import jax
     import jax.numpy as jnp
 
     arr = np.asarray(arr, dtype=np.float32)
@@ -460,7 +464,9 @@ def _dispatch_pyramid(arr, thresh_dog, n_octaves, n_scales, bucket=None):
 
     sizes, slots, _ = _octave_layout(hb, wb, n_octaves)
     prog = _pyramid_program(hb, wb, n_octaves, n_scales)
-    atlas, tables_dev = prog(jnp.asarray(img), h, w, np.float32(thresh_dog))
+    img_dev = jnp.asarray(img) if device is None \
+        else jax.device_put(img, device)
+    atlas, tables_dev = prog(img_dev, h, w, np.float32(thresh_dog))
     gmag, gori = _grad_fields_atlas()(atlas)
     return dict(h=h, w=w, sizes=sizes, slots=slots, n_scales=n_scales,
                 n_octaves=n_octaves, tables_dev=tables_dev,
@@ -624,8 +630,12 @@ def keypoints_from_arrays_tpu(arrs, thresh_dogs, offsets=None, n_octaves=8,
                 arrs[i:i + _WAVE], list(thresh_dogs)[i:i + _WAVE],
                 offsets[i:i + _WAVE], n_octaves, n_scales))
         return out
-    states = [_dispatch_pyramid(a, t, n_octaves, n_scales, bucket=b)
-              for a, t, b in zip(arrs, thresh_dogs, buckets)]
+    import jax
+    devs = jax.local_devices()
+    states = [_dispatch_pyramid(a, t, n_octaves, n_scales, bucket=b,
+                                device=devs[i % len(devs)]
+                                if len(devs) > 1 else None)
+              for i, (a, t, b) in enumerate(zip(arrs, thresh_dogs, buckets))]
     _t1 = _time.perf_counter()
 
     # one fetch wave for every image's candidate tables
