@@ -172,7 +172,9 @@ def bench_stage3_warp(n_iter=5):
 _SCALING_WORKER = r"""
 import json, os, sys, time
 os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
-                           + ' --xla_force_host_platform_device_count=8')
+                           + ' --xla_force_host_platform_device_count=8'
+                           + ' --xla_cpu_multi_thread_eigen=false'
+                           + ' intra_op_parallelism_threads=1')
 import jax
 jax.config.update('jax_platforms', 'cpu')
 import jax.numpy as jnp
