@@ -276,10 +276,10 @@ def main():
         # measure scheduling, not partition efficiency; 1 -> 2 on 2 cores
         # is the point where ~2x is physically available.
         n_eff = 2 if ncore >= 2 else 1
-        eff = sc['tiles_per_s_2dev'] / sc['tiles_per_s_1dev'] / 2 \
-            if n_eff == 2 else 1.0
+        eff = round(sc['tiles_per_s_2dev'] / sc['tiles_per_s_1dev'] / 2, 3) \
+            if n_eff == 2 else None    # unmeasurable on a 1-core host
         print(json.dumps({'metric': 'stage4_scaling_vdev',
-                          'parallel_efficiency_1to2': round(eff, 3),
+                          'parallel_efficiency_1to2': eff,
                           'speedup_1to8': round(
                               sc['tiles_per_s_8dev']
                               / sc['tiles_per_s_1dev'], 3),

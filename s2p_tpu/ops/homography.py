@@ -159,7 +159,7 @@ def warp_jobs_batched(jobs, order=5):
             members = all_members[i:i + 64]
             n = len(members)
             n_pad = 1 << max(0, (n - 1).bit_length())  # pow2 batch shapes
-            n_pad = max(n_pad, n_dev)
+            n_pad = -(-max(n_pad, n_dev) // n_dev) * n_dev
             hinvs = np.stack([hv for _, hv in members]
                              + [members[0][1]] * (n_pad - n))
             if shard is not None:

@@ -804,12 +804,15 @@ def matches_on_rpc_roi_batch(jobs):
     pending = list(range(n_jobs))
     thresh_dog = {k: 0.0133 for k in pending}
     use_device = _use_device_sift()
+    import os as _os
+    timing = bool(_os.environ.get('S2P_TPU_SIFT_TIMING'))
     t_last = time.perf_counter()
 
     def tick(label):
         nonlocal t_last
         now = time.perf_counter()
-        print(f'    stage1 {label}: {now - t_last:.2f} s', flush=True)
+        if timing:
+            print(f'    stage1 {label}: {now - t_last:.2f} s', flush=True)
         t_last = now
 
     for _ in range(2):

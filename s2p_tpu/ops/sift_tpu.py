@@ -50,15 +50,10 @@ _K0 = 8192            # candidate capacity, octave 0 (halved per octave)
 _WAVE = 16            # crops per breadth-first detection wave (memory cap)
 
 
-def _octave_layout(hb, wb, n_octaves, atlas_hw=None):
+def _octave_layout(hb, wb, n_octaves):
     """Static per-octave field sizes for a padded crop (hb, wb) and the
     atlas slot offsets.  Octaves stop when the NEXT octave would have
-    min dim < 24 (the host loop's `min//2 < 12` break).
-
-    ``atlas_hw`` optionally pads the atlas to a larger common shape so the
-    shape-polymorphic orientation/descriptor/gradient kernels compile ONCE
-    per scene instead of once per crop bucket (values are unaffected:
-    every atlas read is bounded by per-job field coordinates)."""
+    min dim < 24 (the host loop's `min//2 < 12` break)."""
     sizes = []
     h, w = 2 * hb, 2 * wb
     for _ in range(n_octaves):
@@ -78,9 +73,6 @@ def _octave_layout(hb, wb, n_octaves, atlas_hw=None):
         y += ho + _MARGIN
     Ha = -(-(y + _MARGIN) // 8) * 8
     Wa = -(-(width + _MARGIN) // 128) * 128
-    if atlas_hw is not None:
-        assert atlas_hw[0] >= Ha and atlas_hw[1] >= Wa, (atlas_hw, Ha, Wa)
-        Ha, Wa = atlas_hw
     return sizes, slots, (Ha, Wa)
 
 
@@ -222,7 +214,7 @@ def _refine_device(dog, cand_s, cand_y, cand_x, alive0, c_dog, ho, wo):
 
 
 @functools.lru_cache(maxsize=8)
-def _pyramid_program(hb, wb, n_octaves, n_scales, atlas_hw=None):
+def _pyramid_program(hb, wb, n_octaves, n_scales):
     """Jitted: padded crop -> (atlas, per-octave candidate tables).
 
     Static on the bucketed crop shape only.  ``thresh`` and the original
@@ -233,7 +225,7 @@ def _pyramid_program(hb, wb, n_octaves, n_scales, atlas_hw=None):
     import jax.numpy as jnp
 
     assert n_scales == N_SPO
-    sizes, slots, (Ha, Wa) = _octave_layout(hb, wb, n_octaves, atlas_hw)
+    sizes, slots, (Ha, Wa) = _octave_layout(hb, wb, n_octaves)
 
     def program(img, h, w, thresh):
         sigma0 = math.sqrt(SIGMA_MIN ** 2 - SIGMA_IN ** 2) / DELTA_MIN

@@ -187,7 +187,8 @@ def _write_pointing_outputs(cfg: Config, tile, i, A, m):
                 x, y, w, h)
 
 
-def pointing_correction_all(cfg: Config, tiles_pairs, timeout=600):
+def pointing_correction_all(cfg: Config, tiles_pairs, timeout=600,
+                            nb_workers=None):
     """Stage 1 driven as a batched device flow: ALL tile pairs' SIFT
     detections run as one pipelined multi-crop wave and all match kernels
     dispatch before one fetch (:func:`s2p_tpu.ops.sift.matches_on_rpc_roi_batch`);
@@ -198,7 +199,7 @@ def pointing_correction_all(cfg: Config, tiles_pairs, timeout=600):
 
     if not sift_ops._use_device_sift():
         runner.launch_calls(lambda t, i: pointing_correction(cfg, t, i),
-                            tiles_pairs, None, timeout=timeout,
+                            tiles_pairs, nb_workers, timeout=timeout,
                             debug=cfg.debug)
         return
 
@@ -225,8 +226,8 @@ def pointing_correction_all(cfg: Config, tiles_pairs, timeout=600):
                 cfg.n_gcp_per_axis, **_alt_kwargs(cfg))
         _write_pointing_outputs(cfg, tile, i, A, m)
 
-    runner.launch_calls(finish, list(zip(tiles_pairs, matches)), None,
-                        tilewise=False, timeout=timeout)
+    runner.launch_calls(finish, list(zip(tiles_pairs, matches)),
+                        nb_workers, tilewise=False, timeout=timeout)
 
 
 def global_pointing_correction(cfg: Config, tiles):
@@ -309,7 +310,8 @@ def rectification_pair(cfg: Config, tile, i):
                [disp_min, disp_max], fmt='%3.1f')
 
 
-def rectification_all(cfg: Config, tiles_pairs, timeout=600):
+def rectification_all(cfg: Config, tiles_pairs, timeout=600,
+                      nb_workers=None):
     """Stage 3 driven as a batched device program.
 
     The per-tile geometry (homographies, disparity ranges) is host numpy
@@ -339,7 +341,7 @@ def rectification_all(cfg: Config, tiles_pairs, timeout=600):
         return dict(out_dir=out_dir, img1=img1.img, img2=img2.img,
                     H1=H1, H2=H2, w=out_w, h=out_h)
 
-    geoms = runner.launch_calls(geometry, tiles_pairs, None,
+    geoms = runner.launch_calls(geometry, tiles_pairs, nb_workers,
                                 timeout=timeout, debug=cfg.debug)
 
     warp_jobs = []
@@ -354,7 +356,7 @@ def rectification_all(cfg: Config, tiles_pairs, timeout=600):
 
     runner.launch_calls(write, [(g, rects[2 * k], rects[2 * k + 1])
                                 for k, g in enumerate(geoms)],
-                        None, tilewise=False, timeout=timeout)
+                        nb_workers, tilewise=False, timeout=timeout)
 
 
 # --------------------------------------------------------------------- #
@@ -605,7 +607,8 @@ def disparity_to_ply(cfg: Config, tile):
     _ply_tile_finish(cfg, tile, job, xyz, err)
 
 
-def disparity_to_ply_all(cfg: Config, tiles, timeout=600):
+def disparity_to_ply_all(cfg: Config, tiles, timeout=600,
+                         nb_workers=None):
     """Stage 5 driven as the batched mesh engine: all tiles triangulate in
     one vmapped device program per shape bucket
     (:func:`s2p_tpu.core.triangulation.disp_to_xyz_batch`); the host-side
@@ -632,7 +635,7 @@ def disparity_to_ply_all(cfg: Config, tiles, timeout=600):
     runner.launch_calls(
         lambda tj, res, cnt: _ply_tile_finish(cfg, tj[0], tj[1], res[0],
                                               res[1], count=cnt),
-        list(zip(live, results, counts)), None, tilewise=False,
+        list(zip(live, results, counts)), nb_workers, tilewise=False,
         timeout=timeout)
 
 
@@ -683,7 +686,8 @@ def _clean_after_height_map(out_dir):
             os.path.join(out_dir, 'rectified_mask.png'))
 
 
-def disparity_to_height_all(cfg: Config, tiles_pairs, timeout=600):
+def disparity_to_height_all(cfg: Config, tiles_pairs, timeout=600,
+                            nb_workers=None):
     """Stage 5a driven as the batched mesh engine: every (tile, pair)
     triangulates in one vmapped device program per shape bucket
     (disp_to_xyz_batch), then the per-tile grid resample fans out on
@@ -723,8 +727,8 @@ def disparity_to_height_all(cfg: Config, tiles_pairs, timeout=600):
         if cfg.clean_intermediate:
             _clean_after_height_map(os.path.join(tile['dir'], f'pair_{i}'))
 
-    runner.launch_calls(finish, list(zip(zip(live, jobs), results)), None,
-                        tilewise=False, timeout=timeout)
+    runner.launch_calls(finish, list(zip(zip(live, jobs), results)),
+                        nb_workers, tilewise=False, timeout=timeout)
 
 
 def mean_heights(cfg: Config, tile):
@@ -817,13 +821,15 @@ def heights_to_ply(cfg: Config, tile):
     _heights_tile_finish(cfg, tile, xyz, colors)
 
 
-def heights_to_ply_all(cfg: Config, tiles, timeout=600):
+def heights_to_ply_all(cfg: Config, tiles, timeout=600, nb_workers=None):
     """Stage 5d with the neighbor counts of ALL tiles in one vmapped
     dispatch (the triplet analogue of disparity_to_ply_all's batch;
     per-tile results identical)."""
+    if not tiles:
+        return
     prepped = runner.launch_calls(
-        lambda t: _heights_tile_xyz(cfg, t), tiles, None, timeout=timeout,
-        debug=cfg.debug, warmup_first=True)
+        lambda t: _heights_tile_xyz(cfg, t), tiles, nb_workers,
+        timeout=timeout, debug=cfg.debug, warmup_first=True)
     counts = [None] * len(tiles)
     if cfg.filtering_3d_r and cfg.filtering_3d_n:
         from .ops.filtering import count_3d_neighbors_batch
@@ -833,7 +839,7 @@ def heights_to_ply_all(cfg: Config, tiles, timeout=600):
     runner.launch_calls(
         lambda t, xc, cnt: _heights_tile_finish(cfg, t, xc[0], xc[1],
                                                 count=cnt),
-        list(zip(tiles, prepped, counts)), None, tilewise=False,
+        list(zip(tiles, prepped, counts)), nb_workers, tilewise=False,
         timeout=timeout)
 
 
@@ -1011,7 +1017,8 @@ def main(user_cfg, start_from=0):
 
     if start_from <= 1:
         with _stage('1) correcting pointing locally...'):
-            pointing_correction_all(cfg, my_tiles_pairs, timeout=timeout)
+            pointing_correction_all(cfg, my_tiles_pairs, timeout=timeout,
+                                    nb_workers=nb_workers)
         dist.barrier('pointing')
     if start_from <= 2:
         with _stage('2) correcting pointing globally...'):
@@ -1023,17 +1030,19 @@ def main(user_cfg, start_from=0):
     # unreliable; host-heavy stages (pointing, rasterization) stay threaded
     if start_from <= 3:
         with _stage('3) rectifying tiles...'):
-            rectification_all(cfg, my_tiles_pairs, timeout=timeout)
-            if cfg.clean_intermediate:
-                # reference __init__.py:161-163 deletes per tile DURING the
-                # stage, racing the neighbor-halo reads of concurrent
-                # tiles; sweeping after the stage keeps the halo
-                # deterministic with the same post-stage file set
-                for t, i in my_tiles_pairs:
-                    d = os.path.join(t['dir'], f'pair_{i}')
-                    _remove(os.path.join(d, 'pointing.txt'),
-                            os.path.join(d, 'sift_matches.txt'))
+            rectification_all(cfg, my_tiles_pairs, timeout=timeout,
+                              nb_workers=nb_workers)
         dist.barrier('rectification')
+        if cfg.clean_intermediate:
+            # reference __init__.py:161-163 deletes per tile DURING the
+            # stage, racing the neighbor-halo reads of concurrent tiles
+            # (and, multi-process, of other processes' boundary tiles);
+            # sweeping after the BARRIER keeps the halo deterministic
+            # with the same post-stage file set
+            for t, i in my_tiles_pairs:
+                d = os.path.join(t['dir'], f'pair_{i}')
+                _remove(os.path.join(d, 'pointing.txt'),
+                        os.path.join(d, 'sift_matches.txt'))
     if start_from <= 4:
         with _stage('4) running stereo matching...'):
             stereo_matching_all(cfg, my_tiles_pairs, timeout=cfg.mgm_timeout)
@@ -1041,7 +1050,9 @@ def main(user_cfg, start_from=0):
     if start_from <= 5:
         if n > 2:
             with _stage('5) height maps, offsets, fusion, point clouds...'):
-                disparity_to_height_all(cfg, my_tiles_pairs, timeout=timeout)
+                disparity_to_height_all(cfg, my_tiles_pairs,
+                                        timeout=timeout,
+                                        nb_workers=nb_workers)
                 print('5b) computing local pairwise height offsets...')
                 runner.launch_calls(lambda t: mean_heights(cfg, t), my_tiles,
                                     nb_workers, timeout=timeout,
@@ -1052,10 +1063,12 @@ def main(user_cfg, start_from=0):
                     global_mean_heights(cfg, tiles)
                 dist.barrier('global_mean_heights')
                 print('5d) merging height maps and computing point clouds...')
-                heights_to_ply_all(cfg, my_tiles, timeout=timeout)
+                heights_to_ply_all(cfg, my_tiles, timeout=timeout,
+                                   nb_workers=nb_workers)
         else:
             with _stage('5) triangulating tiles...'):
-                disparity_to_ply_all(cfg, my_tiles, timeout=timeout)
+                disparity_to_ply_all(cfg, my_tiles, timeout=timeout,
+                                     nb_workers=nb_workers)
         dist.barrier('clouds')
     if start_from <= 6:
         with _stage('6) computing DSM by tile...'):

@@ -118,7 +118,7 @@ def launch_calls(fun, list_of_args, nb_workers=None, *extra_args,
     n = len(list_of_args)
     if n == 0:
         return []
-    if warmup_first and timeout is not None and n > 1:
+    if warmup_first and timeout is not None:
         head = launch_calls(fun, list_of_args[:1], 1, *extra_args,
                             tilewise=tilewise, timeout=None, debug=debug)
         tail = launch_calls(fun, list_of_args[1:], nb_workers, *extra_args,

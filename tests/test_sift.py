@@ -131,3 +131,28 @@ def test_bucket_rule_shared_by_single_and_batch(triplet_img2):
     both = st.keypoints_from_arrays_tpu([a, b], [0.0133] * 2)
     for s_, b_ in zip(own, both):
         assert np.array_equal(s_, b_)
+
+
+def test_matches_on_rpc_roi_batch_equals_single(monkeypatch):
+    """The stage-1 batch driver's hand-duplicated match/RANSAC/retry tail
+    equals matches_on_rpc_roi per job (device mode, small real ROIs)."""
+    from s2p_tpu.geo import geotiff, rpc_io
+    p1 = '/root/reference/tests/data/input_pair/img_01.tif'
+    p2 = '/root/reference/tests/data/input_pair/img_02.tif'
+    im1 = geotiff.read(p1).astype(np.float32)
+    im2 = geotiff.read(p2).astype(np.float32)
+    r1, r2 = rpc_io.rpc_from_geotiff(p1), rpc_io.rpc_from_geotiff(p2)
+    monkeypatch.setattr(sift, '_DEVICE_MODE', 'device')
+    jobs = [dict(im1=im1, im2=im2, rpc1=r1, rpc2=r2, x=x, y=y, w=180, h=180,
+                 method='relative', sift_thresh=0.6, epipolar_threshold=10,
+                 alt_kwargs={})
+            for (x, y) in ((150, 150), (330, 330))]
+    batch = sift.matches_on_rpc_roi_batch(jobs)
+    for j, mb in zip(jobs, batch):
+        ms = sift.matches_on_rpc_roi(
+            j['im1'], j['im2'], j['rpc1'], j['rpc2'], j['x'], j['y'],
+            j['w'], j['h'], j['method'], j['sift_thresh'],
+            j['epipolar_threshold'])
+        assert (ms is None) == (mb is None)
+        if ms is not None:
+            assert np.array_equal(ms, mb)
