@@ -72,12 +72,16 @@ def test_two_process_run_matches_single_process(tmp_path):
     pipeline.main(_pair_cfg(out_single))
     dsm_single = geotiff.read_with_nans(str(out_single / 'dsm.tif'))
 
-    # two-process run over a shared out_dir
+    # two-process run over a shared out_dir; clean_intermediate exercises
+    # the post-barrier deletion ordering (a pre-barrier sweep would race
+    # the other process's neighbor-halo reads and change its DSM)
     out_multi = tmp_path / 'multi'
     with socket.socket() as s:
         s.bind(('localhost', 0))
         port = s.getsockname()[1]
-    cfg_json = json.dumps(_pair_cfg(out_multi))
+    cfg_multi = _pair_cfg(out_multi)
+    cfg_multi['clean_intermediate'] = True
+    cfg_json = json.dumps(cfg_multi)
     env = dict(os.environ)
     env.pop('XLA_FLAGS', None)   # no virtual-device split in the workers
     procs = [subprocess.Popen(
