@@ -61,8 +61,9 @@ def _triangulate_grid_batch_jit():
 
 
 def _triangulate_grid_impl(disp_x, disp_y, valid, h1_inv, h2_inv,
-                           rpc1: RpcParams, rpc2: RpcParams):
-    """Jitted core: rectified disparities -> (lon, lat, alt, err).
+                           rpc1: RpcParams, rpc2: RpcParams,
+                           mask_orig, mask_hw, spans):
+    """Jitted core: rectified disparities -> (lon, lat, alt, err, valid).
 
     Args:
         disp_x, disp_y: (h, w) disparity components (rectified frame).
@@ -70,10 +71,16 @@ def _triangulate_grid_impl(disp_x, disp_y, valid, h1_inv, h2_inv,
         h1_inv, h2_inv: 3x3 inverse rectifying homographies mapping rectified
             coords to (re-centered) full-image coords.
         rpc1, rpc2: re-centered RPC params (same frame as h*_inv outputs).
+        mask_orig: padded original-domain validity raster (uint8).
+        mask_hw: (2,) f32 true (unpadded) mask dims (hh, ww).
+        spans: (2,) f32 (col_span, row_span) of the tile bbox.
 
     Returns:
-        lon, lat, alt, err, px, py: per-pixel geographic coords, altitude,
-        reprojection error, and the re-centered image-1 coords of each pixel.
+        lon, lat, alt, err, valid_out.  The original-domain inside/mask
+        tests of the reference's C kernel (disp_to_h.c:108-123) run HERE
+        so the px/py fields never cross the device->host link (they are
+        2 of 6 otherwise-fetched full-tile f32 fields; the link is the
+        stage-5 bottleneck, PERF.md section 5).
     """
     import jax.numpy as jnp
 
@@ -94,12 +101,27 @@ def _triangulate_grid_impl(disp_x, disp_y, valid, h1_inv, h2_inv,
     alt, err = triangulate_height_jax(rpc1, rpc2, px, py, qx, qy)
     lon, lat = localize_jax(rpc1, px, py, alt)
 
+    # original-domain tests (host _post_triangulation parity, bit-exact:
+    # same f32 round/clip/compare chain the host ran on the fetched px/py)
+    hh, ww = mask_hw[0], mask_hw[1]
+    rpx = jnp.round(px)
+    rpy = jnp.round(py)
+    inside = (rpx >= 0) & (rpx <= spans[0]) & (rpy >= 0) & (rpy <= spans[1])
+    mh, mw = mask_orig.shape
+    ix = jnp.clip(rpx, 0, ww - 1).astype(jnp.int32)
+    iy = jnp.clip(rpy, 0, hh - 1).astype(jnp.int32)
+    ix = jnp.clip(ix, 0, mw - 1)
+    iy = jnp.clip(iy, 0, mh - 1)
+    mask_ok = jnp.where((rpx < ww) & (rpy < hh),
+                        mask_orig[iy, ix] != 0, True)
+    valid = valid & inside & mask_ok
+
     nan = jnp.asarray(jnp.nan, dt)
     lon = jnp.where(valid, lon, nan)
     lat = jnp.where(valid, lat, nan)
     alt = jnp.where(valid, alt, nan)
     err = jnp.where(valid, err, nan)
-    return lon, lat, alt, err, px, py
+    return lon, lat, alt, err, valid
 
 
 def disp_to_xyz(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx, mask_orig,
@@ -124,16 +146,18 @@ def disp_to_xyz(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx, mask_orig,
     import jax.numpy as jnp
 
     dev, meta = _prep_triangulation(rpc1, rpc2, H1, H2, disp, mask_rect,
-                                    img_bbx, A, disp_y)
+                                    img_bbx, mask_orig, A, disp_y)
     outs = _triangulate_grid(
         jnp.asarray(dev['dx']), jnp.asarray(dev['dy']),
         jnp.asarray(dev['valid']), jnp.asarray(dev['h1_inv']),
-        jnp.asarray(dev['h2_inv']), _to_jax(dev['rpc1']), _to_jax(dev['rpc2']))
-    return _post_triangulation(outs, meta, mask_orig, out_crs)
+        jnp.asarray(dev['h2_inv']), _to_jax(dev['rpc1']), _to_jax(dev['rpc2']),
+        jnp.asarray(dev['mask_orig']), jnp.asarray(dev['mask_hw']),
+        jnp.asarray(dev['spans']))
+    return _post_triangulation(outs, meta, out_crs)
 
 
-def _prep_triangulation(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx, A=None,
-                        disp_y=None, pad_multiple=64):
+def _prep_triangulation(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx,
+                        mask_orig, A=None, disp_y=None, pad_multiple=64):
     """Host prep of one tile: recenter + pad; returns (device inputs dict
     of f32 numpy arrays, meta dict for :func:`_post_triangulation`)."""
     disp = np.asarray(disp, dtype=np.float32)
@@ -168,37 +192,35 @@ def _prep_triangulation(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx, A=None,
     vpad = np.zeros((Hp, Wp), dtype=bool)
     vpad[:h, :w] = base_valid
 
+    mask_orig = np.asarray(mask_orig)
+    mh, mw = mask_orig.shape
+    Mh = -(-mh // pad_multiple) * pad_multiple
+    Mw = -(-mw // pad_multiple) * pad_multiple
+    mpad = np.zeros((Mh, Mw), dtype=np.uint8)
+    mpad[:mh, :mw] = (mask_orig != 0)
+
     dev = dict(dx=padf(np.nan_to_num(dx)), dy=padf(np.nan_to_num(dy)),
                valid=vpad, h1_inv=(T @ h1_inv).astype(np.float32),
                h2_inv=(T @ h2_inv).astype(np.float32),
-               rpc1=rpc1_rc.astype(np.float32), rpc2=rpc2_rc.astype(np.float32))
-    meta = dict(h=h, w=w, lon0=lon0, lat0=lat0, base_valid=base_valid,
-                col_span=col_max - col_min, row_span=row_max - row_min)
+               rpc1=rpc1_rc.astype(np.float32), rpc2=rpc2_rc.astype(np.float32),
+               mask_orig=mpad,
+               mask_hw=np.array([mh, mw], dtype=np.float32),
+               spans=np.array([col_max - col_min, row_max - row_min],
+                              dtype=np.float32))
+    meta = dict(h=h, w=w, lon0=lon0, lat0=lat0)
     return dev, meta
 
 
-def _post_triangulation(outs, meta, mask_orig, out_crs):
-    """Host post of one tile: crop, denormalize, original-domain tests
-    (disp_to_h.c:108-123) and the f64 CRS conversion."""
-    lon, lat, alt, err, px, py = outs
+def _post_triangulation(outs, meta, out_crs):
+    """Host post of one tile: crop, denormalize, the f64 CRS conversion
+    (the original-domain tests of disp_to_h.c:108-123 ran on device)."""
+    lon, lat, alt, err, valid = outs
     h, w = meta['h'], meta['w']
     lon = np.array(lon, dtype=np.float64)[:h, :w] + meta['lon0']
     lat = np.array(lat, dtype=np.float64)[:h, :w] + meta['lat0']
     alt = np.array(alt, dtype=np.float64)[:h, :w]
     err = np.array(err, dtype=np.float32)[:h, :w]
-    px = np.asarray(px)[:h, :w]
-    py = np.asarray(py)[:h, :w]
-
-    rpx = np.round(px)
-    rpy = np.round(py)
-    inside = (rpx >= 0) & (rpx <= meta['col_span']) \
-        & (rpy >= 0) & (rpy <= meta['row_span'])
-    mask_orig = np.asarray(mask_orig)
-    hh, ww = mask_orig.shape
-    ix = np.clip(rpx.astype(np.int64), 0, ww - 1)
-    iy = np.clip(rpy.astype(np.int64), 0, hh - 1)
-    mask_ok = np.where((rpx < ww) & (rpy < hh), mask_orig[iy, ix] != 0, True)
-    valid = meta['base_valid'] & inside & mask_ok
+    valid = np.asarray(valid)[:h, :w]
 
     lon[~valid] = np.nan
     lat[~valid] = np.nan
@@ -233,13 +255,14 @@ def disp_to_xyz_batch(jobs, out_crs=None):
     preps = [
         _prep_triangulation(j['rpc1'], j['rpc2'], j['H1'], j['H2'],
                             j['disp'], j['mask_rect'], j['img_bbx'],
-                            j.get('A'), j.get('disp_y'))
+                            j['mask_orig'], j.get('A'), j.get('disp_y'))
         for j in jobs
     ]
     results = [None] * len(jobs)
     buckets = {}
     for idx, (dev, meta) in enumerate(preps):
-        buckets.setdefault(dev['dx'].shape, []).append(idx)
+        key = (dev['dx'].shape, dev['mask_orig'].shape)
+        buckets.setdefault(key, []).append(idx)
 
     # per-process batches shard over LOCAL devices only (each process
     # triangulates its own tile partition in a multi-host run)
@@ -259,7 +282,8 @@ def disp_to_xyz_batch(jobs, out_crs=None):
 
         args = (stack('dx'), stack('dy'), stack('valid'),
                 stack('h1_inv'), stack('h2_inv'), stack('rpc1'),
-                stack('rpc2'))
+                stack('rpc2'), stack('mask_orig'), stack('mask_hw'),
+                stack('spans'))
         if n_dev > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel.mesh import TileMesh
@@ -276,7 +300,7 @@ def disp_to_xyz_batch(jobs, out_crs=None):
         for k, idx in enumerate(idxs):
             tile_outs = tuple(np.asarray(o[k]) for o in outs)
             results[idx] = _post_triangulation(
-                tile_outs, preps[idx][1], jobs[idx]['mask_orig'], out_crs)
+                tile_outs, preps[idx][1], out_crs)
     return results
 
 

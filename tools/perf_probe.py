@@ -101,7 +101,7 @@ def probe_stage5():
         tps = b5(B=8)
         t_full = 8.0 / tps
 
-        tri._post_triangulation = lambda outs, meta, mask, crs: (None, None)
+        tri._post_triangulation = lambda outs, meta, crs: (None, None)
         tps_dev = b5(B=8)
         t_dev = 8.0 / tps_dev
     finally:
