@@ -32,3 +32,35 @@ def configure(cache_dir=None):
     except Exception:
         pass
     _configured = True
+
+
+def warm_transfer_async():
+    """Start the process's FIRST device->host transfer in the background.
+
+    Through the axon tunnel the first d2h fetch of a process pays a large
+    fixed connection-setup cost (measured 2026-08: ~0.2-340 s depending on
+    tunnel health, INDEPENDENT of transfer size -- a 4-byte fetch costs the
+    same as 2 MB; all later fetches run at full bandwidth).  Paying it on a
+    daemon thread while the driver does host-side initialization takes it
+    off the first stage's critical path.  The computation itself runs on
+    the caller's thread (no concurrent compile); only the fetch is
+    backgrounded.
+    """
+    import threading
+
+    try:
+        import jax.numpy as jnp
+        y = (jnp.zeros((1,), jnp.float32) + 1)
+        y.block_until_ready()
+    except Exception:
+        return
+
+    def fetch():
+        try:
+            import numpy as np
+            np.asarray(y)
+        except Exception:
+            pass
+
+    threading.Thread(target=fetch, daemon=True,
+                     name='s2p-tpu-d2h-warmup').start()

@@ -963,6 +963,7 @@ def main(user_cfg, start_from=0):
     """Run the full pipeline (reference __init__.py:528-646)."""
     from . import device
     device.configure()
+    device.warm_transfer_async()   # overlap the tunnel's first-fetch setup
     from .parallel import distributed as dist
     dist.init()     # no-op unless a multi-process run is configured
     cfg = build_cfg(user_cfg)
