@@ -818,70 +818,13 @@ def matches_on_rpc_roi_batch(jobs):
     for _ in range(2):
         if not pending:
             break
-        # detection wave: 2 crops per pending job
-        crops, offs, ths = [], [], []
-        for k in pending:
-            for img, (x, y, w, h) in ((jobs[k]['im1'], metas[k]['roi1']),
-                                      (jobs[k]['im2'], metas[k]['roi2'])):
-                crops.append(np.ascontiguousarray(
-                    img[y:y + h, x:x + w], dtype=np.float32))
-                offs.append((x, y))
-                ths.append(thresh_dog[k])
-        if use_device:
-            from .sift_tpu import keypoints_from_arrays_tpu
-            kps = keypoints_from_arrays_tpu(crops, ths, offs)
-        else:
-            kps = [keypoints_from_array(c, t, offset=o)
-                   for c, t, o in zip(crops, ths, offs)]
-        tick(f'detection wave ({len(crops)} crops)')
-
-        # match wave: dispatch every pair's kernel, then fetch together
-        match_in = []
-        for idx, k in enumerate(pending):
-            k1, k2 = kps[2 * idx], kps[2 * idx + 1]
-            Fm = np.asarray(metas[k]['F'], dtype=np.float64)
-            fc = np.array([Fm[0, 2], Fm[1, 2], Fm[2, 0], Fm[2, 1],
-                           Fm[2, 2]], dtype=np.float32)
-            gate = float(jobs[k]['epipolar_threshold']
-                         * math.hypot(fc[0], fc[1]))
-            match_in.append((k, k1, k2, fc, gate))
-
+        # process pending jobs in chunks: a chunk's crops live on the host
+        # (and, staged, on device) at once -- 64 jobs = 128 crops bounds
+        # that at a few hundred MB for full-size tiles
         finished = {}
-        if use_device:
-            handles = []
-            for k, k1, k2, fc, gate in match_in:
-                if len(k1) == 0 or len(k2) == 0:
-                    handles.append(None)
-                    continue
-                bucket = 2048
-                N1 = -(-len(k1) // bucket) * bucket
-                N2 = -(-len(k2) // bucket) * bucket
-                k1p = np.zeros((N1, k1.shape[1]), np.float32)
-                k2p = np.zeros((N2, k2.shape[1]), np.float32)
-                k1p[:len(k1)] = k1
-                k2p[:len(k2)] = k2
-                handles.append(_match_kernel_jit()(
-                    k1p, k2p, len(k1), len(k2), fc, np.float32(gate)))
-            flat = [h for hs in handles if hs is not None for h in hs]
-            _fetch_all(flat)
-            tick(f'match wave ({len(match_in)} pairs)')
-            for (k, k1, k2, fc, gate), hs in zip(match_in, handles):
-                if hs is None:
-                    finished[k] = np.zeros((0, 4), np.float32)
-                    continue
-                nn, best, second = (np.asarray(a)[:len(k1)] for a in hs)
-                finished[k] = _match_finish(k1, k2, nn, best, second,
-                                            jobs[k]['method'],
-                                            jobs[k]['sift_thresh'])
-        else:
-            for k, k1, k2, fc, gate in match_in:
-                finished[k] = keypoints_match(
-                    k1, k2, jobs[k]['method'], jobs[k]['sift_thresh'],
-                    metas[k]['F'],
-                    epipolar_threshold=jobs[k]['epipolar_threshold'],
-                    model='fundamental')
-
-        tick('ransac/finish')
+        for c0 in range(0, len(pending), 64):
+            _run_match_chunk(jobs, metas, pending[c0:c0 + 64], thresh_dog,
+                             use_device, finished, tick)
         still = []
         for k in pending:
             m = finished[k]
@@ -897,6 +840,75 @@ def matches_on_rpc_roi_batch(jobs):
         warnings.warn('sift.matches_on_rpc_roi_batch: found no matches for '
                       f'{len(pending)} tile pair(s)')
     return results
+
+
+def _run_match_chunk(jobs, metas, chunk, thresh_dog, use_device, finished,
+                     tick):
+    """One detection + match + RANSAC wave over a chunk of pending jobs
+    (the body of matches_on_rpc_roi_batch's attempt loop); fills
+    ``finished[k]`` per job."""
+    # detection wave: 2 crops per pending job
+    crops, offs, ths = [], [], []
+    for k in chunk:
+        for img, (x, y, w, h) in ((jobs[k]['im1'], metas[k]['roi1']),
+                                  (jobs[k]['im2'], metas[k]['roi2'])):
+            crops.append(np.ascontiguousarray(
+                img[y:y + h, x:x + w], dtype=np.float32))
+            offs.append((x, y))
+            ths.append(thresh_dog[k])
+    if use_device:
+        from .sift_tpu import keypoints_from_arrays_tpu
+        kps = keypoints_from_arrays_tpu(crops, ths, offs)
+    else:
+        kps = [keypoints_from_array(c, t, offset=o)
+               for c, t, o in zip(crops, ths, offs)]
+    tick(f'detection wave ({len(crops)} crops)')
+
+    # match wave: dispatch every pair's kernel, then fetch together
+    match_in = []
+    for idx, k in enumerate(chunk):
+        k1, k2 = kps[2 * idx], kps[2 * idx + 1]
+        Fm = np.asarray(metas[k]['F'], dtype=np.float64)
+        fc = np.array([Fm[0, 2], Fm[1, 2], Fm[2, 0], Fm[2, 1],
+                       Fm[2, 2]], dtype=np.float32)
+        gate = float(jobs[k]['epipolar_threshold']
+                     * math.hypot(fc[0], fc[1]))
+        match_in.append((k, k1, k2, fc, gate))
+
+    if use_device:
+        handles = []
+        for k, k1, k2, fc, gate in match_in:
+            if len(k1) == 0 or len(k2) == 0:
+                handles.append(None)
+                continue
+            bucket = 2048
+            N1 = -(-len(k1) // bucket) * bucket
+            N2 = -(-len(k2) // bucket) * bucket
+            k1p = np.zeros((N1, k1.shape[1]), np.float32)
+            k2p = np.zeros((N2, k2.shape[1]), np.float32)
+            k1p[:len(k1)] = k1
+            k2p[:len(k2)] = k2
+            handles.append(_match_kernel_jit()(
+                k1p, k2p, len(k1), len(k2), fc, np.float32(gate)))
+        flat = [h for hs in handles if hs is not None for h in hs]
+        _fetch_all(flat)
+        tick(f'match wave ({len(match_in)} pairs)')
+        for (k, k1, k2, fc, gate), hs in zip(match_in, handles):
+            if hs is None:
+                finished[k] = np.zeros((0, 4), np.float32)
+                continue
+            nn, best, second = (np.asarray(a)[:len(k1)] for a in hs)
+            finished[k] = _match_finish(k1, k2, nn, best, second,
+                                        jobs[k]['method'],
+                                        jobs[k]['sift_thresh'])
+    else:
+        for k, k1, k2, fc, gate in match_in:
+            finished[k] = keypoints_match(
+                k1, k2, jobs[k]['method'], jobs[k]['sift_thresh'],
+                metas[k]['F'],
+                epipolar_threshold=jobs[k]['epipolar_threshold'],
+                model='fundamental')
+    tick('ransac/finish')
 
 
 def matches_on_rpc_roi(im1, im2, rpc1, rpc2, x, y, w, h, method='relative',
