@@ -238,6 +238,7 @@ def bench_scaling_virtual_mesh():
 def main():
     from s2p_tpu import device
     device.configure()
+    device.warm_transfer_async()   # overlap the tunnel's first-fetch setup
 
     params = _production_params()
     mpixdisp_s = bench_matcher(params)
