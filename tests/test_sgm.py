@@ -98,3 +98,32 @@ def test_median_fill_coherence_gate():
     assert np.isnan(d1[2, 3])
     # valid pixels keep their (median-smoothed) values under both
     assert np.asarray(v1)[0, 0]
+
+
+@pytest.mark.parametrize('algo', ['sgbm', 'hirschmuller08',
+                                  'hirschmuller08_laplacian',
+                                  'hirschmuller08_cauchy', 'tvl1', 'msmw'])
+def test_matcher_dispatch_surface(algo):
+    """Every reference matcher name (block_matching.py:35-336) dispatches
+    and recovers the synthetic shift to <1 px on most valid pixels."""
+    im1, im2, true = _synthetic_pair()
+    cfg = Config(matching_algorithm=algo)
+    disp, mask, conf = matching.compute_disparity_map(cfg, im1, im2, -2, 8)
+    assert disp.shape == im1.shape and mask.shape == im1.shape
+    inner = mask[12:-12, 12:-12].astype(bool)
+    assert inner.mean() > 0.2
+    err = np.abs(disp - true)[12:-12, 12:-12][inner]
+    # the LoG/Cauchy prefilters compress the white-noise texture that IS
+    # this synthetic's only signal, so their bar is lower by construction
+    bar = 0.6 if algo.startswith('hirschmuller08_') else 0.75
+    assert (err < 1.5).mean() > bar, (algo, (err < 1.5).mean())
+
+
+def test_matcher_dispatch_errors():
+    im1, im2, _ = _synthetic_pair()
+    with pytest.raises(NotImplementedError):
+        matching.compute_disparity_map(Config(matching_algorithm='micmac'),
+                                       im1, im2, -2, 8)
+    with pytest.raises(NotImplementedError):
+        matching.compute_disparity_map(Config(matching_algorithm='nope'),
+                                       im1, im2, -2, 8)
