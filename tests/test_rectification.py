@@ -89,3 +89,28 @@ def test_warp_jobs_batched_bitwise():
         assert b.shape == s.shape
         assert np.array_equal(np.nan_to_num(s), np.nan_to_num(b))
         assert np.array_equal(np.isnan(s), np.isnan(b))
+
+
+def test_disparity_range_policies(matches):
+    """All five disp_range_method policies (reference rectification.py:
+    169-239) produce ordered finite ranges on the real pair."""
+    im1, rpc1, im2, rpc2 = _images()
+    x, y, w, h = 150, 150, 350, 350
+    H1, H2, F = rectification.rectification_homographies(
+        matches, x, y, w, h)
+    ranges = {}
+    for method, extra in [
+            ('sift', {}),
+            ('wider_sift_exogenous', {}),
+            ('exogenous', {}),
+            ('fixed_altitude_range', dict(alt_min=0.0, alt_max=100.0)),
+            ('fixed_pixel_range', dict(disp_min=-12.0, disp_max=7.0))]:
+        cfg = Config(disp_range_method=method, **extra)
+        lo, hi = rectification.disparity_range(cfg, rpc1, rpc2, x, y, w, h,
+                                               H1, H2, matches)
+        assert np.isfinite(lo) and np.isfinite(hi) and lo < hi, method
+        ranges[method] = (lo, hi)
+    assert ranges['fixed_pixel_range'] == (-12.0, 7.0)
+    # the combination rule takes the wider of sift and exogenous
+    assert ranges['wider_sift_exogenous'][0] <= ranges['sift'][0]
+    assert ranges['wider_sift_exogenous'][1] >= ranges['sift'][1]
