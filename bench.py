@@ -22,8 +22,6 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, '/root/repo')
-
 
 def _production_params():
     """The stage-4 engine parameters the pipeline actually runs: the

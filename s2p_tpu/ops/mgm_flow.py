@@ -466,6 +466,72 @@ def _flow_one_batched_pallas(a, b, dm, D, h1, w1, w2, dt, v: MgmVariant):
     return _flow_post(dL, dR, d_int, votes, v, w2)
 
 
+def _flow_lane_folded(a_bt, b_bt, dm_b, D: int, h_b, w1_b, w2_b, dt_b,
+                      v: MgmVariant):
+    """Lane-folded batch flow: B tiles concatenated along the Pallas lane
+    axis so each sequential DP step of the aggregation carries B tiles of
+    independent work (PERF.md lever 2; sgm_pallas.flow_partials_folded has
+    the construction).  Per-tile traced bases/extents ride the same
+    signature-gather/bit contract as the per-tile batched path, and each
+    tile's output is bitwise its single unpadded run."""
+    from .sgm_pallas import (_PAD_BIT, _VALID_BIT, _wta_pallas,
+                             flow_partials_folded, lane_fold_plan,
+                             unfold_lanes_v)
+    B, H, W = a_bt.shape
+    _, G, Gw, Wseg = lane_fold_plan(H, W, D)
+    extra = Wseg - W
+    interp = v.backend == 'interpret'
+    census = jax.vmap(lambda im: census_bits_raw(im, v.census_win)[..., 0])
+    s1_raw = census(a_bt)
+    s2_raw = census(b_bt)
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(Wseg)[None, :]
+    one = jnp.uint32(1)
+    dm_b = jnp.asarray(dm_b, jnp.int32)
+    dt_b = jnp.asarray(dt_b, jnp.int32)
+    allowed = (jnp.arange(D)[None, :]
+               < dt_b[:, None]).astype(jnp.int32)          # (B, D)
+
+    def side(sig_ref, sig_sec, base_b, h_ref_b, w_ref_b, w_sec_b):
+        def annotate(sig, h_ref, w_ref):
+            srp = jnp.pad(sig, ((0, 0), (0, extra)))
+            pad = (ys >= h_ref) | (xs >= w_ref)
+            return (srp | (one << _VALID_BIT)
+                    | (pad.astype(jnp.uint32) << _PAD_BIT))
+
+        sr = jax.vmap(annotate)(sig_ref, h_ref_b, w_ref_b)
+        ss = jax.vmap(
+            lambda s, sh, wt: _shift_sig_cols(s, sh, wt, extra=extra))(
+                sig_sec, base_b, w_sec_b)
+        parts, votes = flow_partials_folded(sr, ss, D, v,
+                                            allowed_bt=allowed, G=G,
+                                            interpret=interp)
+        off_f, dint_f, _ = _wta_pallas(parts, 0, v.subpix,
+                                       interpret=interp,
+                                       big_guard=float(BIG) / 2,
+                                       with_dr=False, emit_offset=True,
+                                       row_block=Gw)
+        off = unfold_lanes_v(off_f, B)[:, :, :W]
+        d_int = unfold_lanes_v(dint_f, B)[:, :, :W]
+        votes = [unfold_lanes_v(vo, B)[:, :, :W] for vo in votes]
+        disp = (base_b[:, None, None].astype(jnp.float32)
+                + d_int.astype(jnp.float32)) + off
+        pad = ((ys[None] >= h_ref_b[:, None, None])
+               | (jnp.arange(W)[None, None, :] >= w_ref_b[:, None, None]))
+        return jnp.where(pad, jnp.nan, disp), d_int, votes
+
+    dL, d_int, votes = side(s1_raw, s2_raw, dm_b, h_b, w1_b, w2_b)
+    if v.lr_enabled:
+        dmax_b = dm_b + dt_b - 1
+        dR, _, _ = side(s2_raw, s1_raw, -dmax_b, h_b, w2_b, w1_b)
+        return jax.vmap(
+            lambda dl, dr, di, vo, w2: _flow_post(dl, dr, di, vo, v, w2))(
+                dL, dR, d_int, votes, w2_b)
+    return jax.vmap(
+        lambda dl, di, vo, w2: _flow_post(dl, None, di, vo, v, w2))(
+            dL, d_int, votes, w2_b)
+
+
 def _use_pallas_batch(im1_b, D: int, v: MgmVariant) -> bool:
     import jax
     if v.backend in ('pallas', 'interpret'):
@@ -495,21 +561,46 @@ def mgm_binary_match_batch(im1_b, im2_b, disp_min_b, D: int,
     if d_b is None:
         d_b = jnp.full(jnp.asarray(disp_min_b).shape, D)
 
+    args = (im1_b, im2_b,
+            jnp.asarray(disp_min_b, jnp.int32),
+            jnp.asarray(h_b, jnp.int32),
+            jnp.asarray(w1_b, jnp.int32),
+            jnp.asarray(w2_b, jnp.int32),
+            jnp.asarray(d_b, jnp.int32))
+
     if _use_pallas_batch(im1_b, D, variant):
         def one(a, b, dm, h1, w1, w2, dt):
             d, c = _flow_one_batched_pallas(a, b, dm, D, h1, w1, w2, dt,
                                             variant)
             return {'disp': d, 'confidence': c}
+
+        from .sgm_pallas import lane_fold_plan
+        n, H, W = im1_b.shape
+        Bf = min(lane_fold_plan(H, W, D)[0], n)
+        if Bf > 1:
+            # lane-folded groups of Bf tiles share one DP slab (PERF.md
+            # lever 2); the tail short of a group runs the per-tile path
+            m, r = divmod(n, Bf)
+
+            def grp(a, b, dm, h1, w1, w2, dt):
+                d, c = _flow_lane_folded(a, b, dm, D, h1, w1, w2, dt,
+                                         variant)
+                return {'disp': d, 'confidence': c}
+
+            folded = jax.vmap(grp)(*(
+                a[:m * Bf].reshape((m, Bf) + a.shape[1:]) for a in args))
+            folded = jax.tree.map(
+                lambda x: x.reshape((m * Bf,) + x.shape[2:]), folded)
+            if r == 0:
+                return folded
+            tail = jax.vmap(one)(*(a[m * Bf:] for a in args))
+            return jax.tree.map(
+                lambda x, y: jnp.concatenate([x, y], axis=0), folded, tail)
     else:
         def one(a, b, dm, h1, w1, w2, dt):
             d, c = _flow_core(a, b, dm, D, variant, h1, w1, w2, d_true=dt)
             return {'disp': d, 'confidence': c}
-    return jax.vmap(one)(im1_b, im2_b,
-                         jnp.asarray(disp_min_b, jnp.int32),
-                         jnp.asarray(h_b, jnp.int32),
-                         jnp.asarray(w1_b, jnp.int32),
-                         jnp.asarray(w2_b, jnp.int32),
-                         jnp.asarray(d_b, jnp.int32))
+    return jax.vmap(one)(*args)
 
 
 # --------------------------------------------------------------------- #

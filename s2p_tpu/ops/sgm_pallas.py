@@ -75,7 +75,7 @@ def _minconv(L, p1, p2):
 def _scan_kernel(*refs,
                  D, W, G, n_steps, disp_min, dirs, p1, invalid_cost,
                  sig_mask, reverse, horizontal, pad, sec_len,
-                 sub_cost_mult=0.0, has_allowed=False):
+                 sub_cost_mult=0.0, has_allowed=False, seg_w=None):
     if has_allowed:
         # (D, 1) int32 per-tile candidate mask (the bucket's disparity-axis
         # padding and the tile's true range; mgm_flow batch contract)
@@ -95,6 +95,14 @@ def _scan_kernel(*refs,
     block = (n_steps - 1 - pid) if reverse else pid
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (D, W), 0)
     x_ids = jax.lax.broadcasted_iota(jnp.int32, (D, W), 1)
+    # lane-folded batches (seg_w set): the lane axis carries several tiles
+    # as independent segments of width seg_w; lateral carry rolls must not
+    # leak across segment boundaries, so the edge dead-masks use the
+    # within-segment lane index.  A masked-out (fresh-border) carry is
+    # identically zero and minconv(0) == 0, so a segment edge behaves
+    # bitwise like the array edge of the single-tile kernel.
+    SW = W if seg_w is None else seg_w
+    x_loc = x_ids if seg_w is None else jax.lax.rem(x_ids, jnp.int32(seg_w))
     first_local = G - 1 if reverse else 0
     p1 = jnp.asarray(p1, jnp.float32)
     inv = jnp.asarray(invalid_cost, jnp.float32)
@@ -164,9 +172,9 @@ def _scan_kernel(*refs,
                 Lp = jnp.roll(L_prev, lat, axis=1) if lat else L_prev
                 mc = _minconv(Lp, p1, p2r)
                 if lat > 0:
-                    dead = x_ids < lat
+                    dead = x_loc < lat
                 elif lat < 0:
-                    dead = x_ids >= W + lat
+                    dead = x_loc >= SW + lat
                 else:
                     dead = None
                 if first is not None:
@@ -199,7 +207,7 @@ def _scan_kernel(*refs,
 def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, p1,
                       invalid_cost, nbits, reverse, horizontal,
                       interpret=False, sub_cost_mult=0.0, allowed=None,
-                      sec_len=None):
+                      sec_len=None, seg_w=None, row_block=None):
     """All same-orientation directions in one streaming pass.
 
     Args:
@@ -216,7 +224,7 @@ def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, p1,
         (S_partial (N, D, W) float32, votes (n_dirs, N, W) int32).
     """
     N, W = sig1.shape
-    G = _ROW_BLOCK
+    G = _ROW_BLOCK if row_block is None else row_block
     assert N % G == 0, (N, G)
     n_steps = N // G
     n_dirs = len(dirs)
@@ -239,7 +247,7 @@ def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, p1,
         dirs=tuple(dirs), p1=p1, invalid_cost=invalid_cost,
         sig_mask=sig_mask, reverse=reverse, horizontal=horizontal, pad=pad,
         sec_len=sec_len, sub_cost_mult=sub_cost_mult,
-        has_allowed=allowed is not None)
+        has_allowed=allowed is not None, seg_w=seg_w)
 
     if horizontal:
         sig2_spec = pl.BlockSpec(memory_space=pltpu.VMEM)   # full array
@@ -368,10 +376,10 @@ def _wta_kernel(*refs, D, W, G, disp_min, subpix, n_parts,
 
 
 def _wta_pallas(parts, disp_min, subpix, interpret=False, big_guard=None,
-                with_dr=True, emit_offset=False):
+                with_dr=True, emit_offset=False, row_block=None):
     """(disp_raw, d_int, dR) maps from the summed (H, D, W) partials."""
     H, D, W = parts[0].shape
-    G = _ROW_BLOCK
+    G = _ROW_BLOCK if row_block is None else row_block
     assert H % G == 0
     n_parts = len(parts)
     kernel = functools.partial(_wta_kernel, D=D, W=W, G=G,
@@ -670,4 +678,202 @@ def flow_one_side_pallas(im1, im2, disp_min, D, variant, p2map=None,
     disp = (jnp.asarray(disp_min, jnp.float32)
             + d_int.astype(jnp.float32)) + off
     return disp, d_int, votes
+
+
+# --------------------------------------------------------------------- #
+# Lane-folded batch: B tiles share one DP slab (PERF.md lever 2)
+# --------------------------------------------------------------------- #
+#
+# SGM's row recurrence serializes the scan axis: each grid step must fully
+# retire a (D, W) slab (including the min-convolution's latency chain)
+# before the next row starts, and at D=64-96, W~600 that is so little
+# independent work that ~90% of each step is dependency bubbles (PERF.md
+# section 1).  vmap over tiles lifts the batch to a *grid* dimension --
+# steps still execute one tile-row at a time.  The functions below instead
+# concatenate B same-bucket tiles along the LANE axis, so every sequential
+# DP step carries B tiles of independent columns:
+#
+#   * both sides use equal segment width Wseg >= W + D (the rebased
+#     candidate reach), the primary padded with _PAD_BIT columns: every
+#     cross-segment artifact (Hankel lane rolls of the secondary, the
+#     global roll wrap) lands on zero-cost padding lanes;
+#   * the +-1 lateral carry rolls are masked at segment boundaries
+#     (seg_w in _scan_kernel), which is bitwise identical to the
+#     single-tile edge masks because a fresh-border carry is identically
+#     zero and minconv(0) == 0;
+#   * horizontal passes fold along the y axis (their lane axis) -- folding
+#     along the scan axis would let the DP carry flow between tiles;
+#   * the fold factor is VMEM-bound: the dominant block is the S-partial
+#     output window (G*D*4 bytes per lane, double-buffered), so the row
+#     block G shrinks as B grows (lane_fold_plan).
+
+def lane_fold_plan(H, W, D, n_dirs_v=3, vmem_budget=None):
+    """(fold B, scan row-block G, WTA row-block, segment width) for a
+    lane-folded batch, sized so every pass fits the VMEM budget.
+
+    The budget is conservative: Mosaic double-buffers in/out blocks, the
+    scratch carries and the full transposed secondary (horizontal passes)
+    are resident.  ``S2P_TPU_LANE_FOLD`` / ``S2P_TPU_LANE_FOLD_G``
+    override the outcome for probing."""
+    import os
+    budget = vmem_budget or int(os.environ.get('S2P_TPU_VMEM_BUDGET',
+                                               14 * 2 ** 20))
+    G_env = os.environ.get('S2P_TPU_LANE_FOLD_G')
+    Wseg = W + D
+    Wseg += (-Wseg) % _ROW_BLOCK
+
+    def fits(B, G):
+        lanes_v = B * Wseg
+        lanes_h = B * H
+        # vertical scan: S out (dbl), votes out (dbl), sig1/sig2/p2 blocks
+        # (dbl), carries, allowed
+        v = lanes_v * (G * D * 8 + n_dirs_v * G * 8 + 3 * G * 8
+                       + n_dirs_v * D * 4 + D * 4)
+        # horizontal scan: 1 dir, full transposed secondary resident
+        h = lanes_h * (G * D * 8 + G * 8 + 2 * G * 8 + D * 4 + D * 4) \
+            + (Wseg + D) * lanes_h * 4
+        # WTA: two partial input windows (dbl) + three map outputs
+        gw = _wta_row_block(H, B, D, budget)
+        w = lanes_v * (2 * gw * D * 8 + 3 * gw * 8)
+        return max(v, h, w) <= budget
+
+    for B in (8, 6, 4, 3, 2):
+        if H % 8 or Wseg % 8:
+            break
+        for G in (8, 4, 2):
+            if H % G or Wseg % G:
+                continue
+            if fits(B, G):
+                Bo = int(os.environ.get('S2P_TPU_LANE_FOLD', B))
+                Go = int(G_env) if G_env else G
+                return Bo, Go, _wta_row_block(H, Bo, D, budget), Wseg
+    Bo = int(os.environ.get('S2P_TPU_LANE_FOLD', 1))
+    if Bo > 1 and H % 8 == 0 and Wseg % 8 == 0:
+        return Bo, int(G_env) if G_env else 2, \
+            _wta_row_block(H, Bo, D, budget), Wseg
+    return 1, _ROW_BLOCK, _ROW_BLOCK, Wseg
+
+
+def _wta_row_block(H, B, D, budget):
+    """WTA is a streaming pass with no cross-row dependency, so its row
+    block only amortizes grid-step overhead -- shrink it freely to fit."""
+    for gw in (8, 4, 2, 1):
+        if H % gw:
+            continue
+        if B * H * (2 * gw * D * 8 + 3 * gw * 8) <= budget:
+            return gw
+    return 1
+
+
+def fold_lanes_v(a_bt):
+    """(B, H, Wseg) -> (H, B*Wseg): tiles side by side on the lane axis."""
+    B, H, Wseg = a_bt.shape
+    return jnp.transpose(a_bt, (1, 0, 2)).reshape(H, B * Wseg)
+
+
+def unfold_lanes_v(a_f, B):
+    """(H, B*Wseg) -> (B, H, Wseg)."""
+    H, L = a_f.shape
+    return jnp.transpose(a_f.reshape(H, B, L // B), (1, 0, 2))
+
+
+def _fold_lanes_h(a_bt):
+    """(B, H, Wseg) -> (Wseg, B*H): the horizontal passes' transposed
+    layout, tiles side by side on THEIR lane axis (y)."""
+    B, H, Wseg = a_bt.shape
+    return jnp.transpose(a_bt, (2, 0, 1)).reshape(Wseg, B * H)
+
+
+def flow_partials_folded(s1_bt, s2_bt, D: int, variant, p2=None,
+                         allowed_bt=None, G=None, interpret=False):
+    """Aggregation partials for a lane-folded tile batch.
+
+    Args:
+        s1_bt: (B, H, Wseg) bit-annotated primary census signatures
+            (_VALID_BIT set, _PAD_BIT over each tile's padding incl. the
+            segment margin columns [w1, Wseg)).
+        s2_bt: (B, H, Wseg) rebased secondary signatures (_VALID_BIT from
+            the per-tile gather), equal segment width.
+        allowed_bt: optional (B, D) int32 per-tile candidate masks.
+
+    Returns ((H, D, B*Wseg) partials list, votes list of (H, B*Wseg)),
+    bitwise equal per segment to the single-tile pass outputs.
+    """
+    from .mgm_flow import BIG
+    from .sgm import _DIRS_8
+
+    B, H, Wseg = s1_bt.shape
+    G = G or _ROW_BLOCK
+    nbits = variant.census_win ** 2 - 1
+    assert nbits <= _VALID_BIT
+    if p2 is None:
+        p2_bt = jnp.full((B, H, Wseg), variant.p2, jnp.float32)
+    else:
+        p2_bt = jnp.broadcast_to(jnp.asarray(p2, jnp.float32),
+                                 (B, H, Wseg))
+
+    dirs = _DIRS_8[:max(2, min(variant.nb_dir, 8))]
+    passes = {}
+    for i, d in enumerate(dirs):
+        key, (main, partner) = _PASS_OF_DIR[d]
+        passes.setdefault(key, ([], []))
+        passes[key][0].append(i)
+        passes[key][1].append((main,))
+
+    allowed_v = allowed_h = None
+    if allowed_bt is not None:
+        al = jnp.asarray(allowed_bt, jnp.int32)            # (B, D)
+        allowed_v = jnp.broadcast_to(al.T[:, :, None], (D, B, Wseg)) \
+            .reshape(D, B * Wseg)
+        allowed_h = jnp.broadcast_to(al.T[:, :, None], (D, B, H)) \
+            .reshape(D, B * H)
+
+    s1v = s2v = p2v = None
+    if 'vf' in passes or 'vb' in passes:
+        s1v, s2v, p2v = (fold_lanes_v(a) for a in (s1_bt, s2_bt, p2_bt))
+    s1h = s2h = p2h = None
+    if 'hf' in passes or 'hb' in passes:
+        s1h, p2h = _fold_lanes_h(s1_bt), _fold_lanes_h(p2_bt)
+        # the per-step sublane window reads rows [x, x + D + G): pad the
+        # scan axis so the last window exists (zero rows = invalid)
+        s2h = jnp.pad(_fold_lanes_h(s2_bt), ((0, D), (0, 0)))
+
+    run = functools.partial(_scan_pass_pallas, D=D, disp_min=0,
+                            p1=variant.p1, invalid_cost=float(BIG),
+                            nbits=nbits, interpret=interpret, row_block=G)
+
+    S_v = S_h = None
+    votes = [None] * len(dirs)
+    sub = float(len(dirs) - 1) if variant.overcount_fix else 0.0
+    for key, (dir_idx, lats) in passes.items():
+        kw = {}
+        if sub:
+            kw['sub_cost_mult'] = sub
+            sub = 0.0
+        if key in ('vf', 'vb'):
+            Sp, v = run(s1v, s2v, p2v, dirs=lats, reverse=(key == 'vb'),
+                        horizontal=False, seg_w=Wseg,
+                        sec_len=B * Wseg, allowed=allowed_v, **kw)
+            S_v = Sp if S_v is None else S_v + Sp
+            for j, i in enumerate(dir_idx):
+                votes[i] = v[j]
+        else:
+            Sp, v = run(s1h, s2h, p2h, dirs=lats, reverse=(key == 'hb'),
+                        horizontal=True, seg_w=H,
+                        sec_len=Wseg + D, allowed=allowed_h, **kw)
+            S_h = Sp if S_h is None else S_h + Sp
+            for j, i in enumerate(dir_idx):
+                # (Wseg, B*H) -> (H, B*Wseg)
+                votes[i] = jnp.transpose(
+                    v[j].reshape(Wseg, B, H), (2, 1, 0)) \
+                    .reshape(H, B * Wseg)
+
+    parts = []
+    if S_v is not None:
+        parts.append(S_v)
+    if S_h is not None:
+        # (Wseg, D, B*H) -> (H, D, B*Wseg)
+        parts.append(jnp.transpose(S_h.reshape(Wseg, D, B, H),
+                                   (3, 1, 2, 0)).reshape(H, D, B * Wseg))
+    return parts, votes
 

@@ -773,6 +773,14 @@ def heights_fusion(cfg: Config, tile):
     offsets = [float(np.loadtxt(os.path.join(
         cfg.out_dir, f'global_mean_height_pair_{i + 1}.txt')))
         for i in range(n)]
+    if cfg.debug:
+        # debug artifact parity (reference fusion.py:50-52): save each
+        # pair's height map registered to the common mean level
+        mean_off = float(np.mean(offsets))
+        for p, hm, off in zip(paths, maps, offsets):
+            geotiff.write(p[:-len('.tif')] + '_registered.tif',
+                          (hm - off + mean_off).astype(np.float32),
+                          nodata=float('nan'))
     merged = fusion.merge_n_arrays(maps, offsets, cfg.fusion_operator,
                                    cfg.fusion_thresh)
     geotiff.write(os.path.join(tile_dir, 'height_map.tif'),

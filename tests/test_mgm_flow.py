@@ -152,3 +152,41 @@ def test_pallas_batch_matches_lax_batch_bitwise():
         a, b = outs['lax'][k], outs['pal'][k]
         same = (a == b) | (np.isnan(a) & np.isnan(b))
         assert same.all(), f'tile {k}: {(~same).sum()} pixels differ'
+
+
+def test_lane_folded_matches_lax_batch_bitwise(monkeypatch):
+    """The lane-folded batch (B tiles concatenated on the Pallas lane
+    axis, PERF.md lever 2) must equal the lax batch bitwise per tile,
+    under mixed traced bases/extents/candidate counts, including a
+    remainder tail shorter than the fold group."""
+    Hp, Wp, Dp = 72, 104, 32
+    n = 5
+    b1 = np.full((n, Hp, Wp), np.nan, np.float32)
+    b2 = np.full((n, Hp, Wp), np.nan, np.float32)
+    hs, w1s, w2s = [], [], []
+    for k in range(n):
+        im1, im2 = _synthetic_pair(H=64 - 2 * k, W=96 - 8 * k,
+                                   d=2.0 + k, seed=k)
+        im1[:5] = np.nan
+        im2[:, -7:] = np.nan
+        b1[k, :im1.shape[0], :im1.shape[1]] = im1
+        b2[k, :im2.shape[0], :im2.shape[1]] = im2
+        hs.append(im1.shape[0])
+        w1s.append(im1.shape[1])
+        w2s.append(im2.shape[1])
+    dmins = [-2, -4, 0, -9, 3]
+    dts = [10, 24, 32, 17, 8]
+    # fold 2 -> two folded groups + a 1-tile tail through the per-tile path
+    monkeypatch.setenv('S2P_TPU_LANE_FOLD', '2')
+    outs = {}
+    for lbl, v in (('lax', mf.MgmVariant(backend='lax')),
+                   ('pal', mf.MgmVariant(backend='interpret'))):
+        o = mf.mgm_binary_match_batch(
+            jnp.asarray(b1), jnp.asarray(b2), dmins, Dp,
+            hs, w1s, w2s, dts, variant=v)
+        outs[lbl] = (np.asarray(o['disp']), np.asarray(o['confidence']))
+    for k in range(n):
+        a, b = outs['lax'][0][k], outs['pal'][0][k]
+        same = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert same.all(), f'tile {k}: {(~same).sum()} pixels differ'
+        assert (outs['lax'][1][k] == outs['pal'][1][k]).all(), k

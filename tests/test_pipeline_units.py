@@ -89,6 +89,32 @@ def test_fusion_average_if_close():
     assert np.allclose(out[1:, :], 10.25)
 
 
+def test_fusion_debug_saves_registered_maps(tmp_path):
+    """Debug-mode fusion saves the offset-registered per-pair height maps
+    next to the inputs (reference fusion.py:50-52)."""
+    from s2p_tpu import pipeline
+    from s2p_tpu.geo import geotiff
+
+    tile_dir = tmp_path / 'tile'
+    for i, (val, off) in enumerate([(10.0, 2.0), (11.0, 4.0)]):
+        d = tile_dir / f'pair_{i + 1}'
+        d.mkdir(parents=True)
+        geotiff.write(str(d / 'height_map.tif'),
+                      np.full((6, 8), val, np.float32))
+        np.savetxt(str(tmp_path / f'global_mean_height_pair_{i + 1}.txt'),
+                   [off])
+    cfg = Config(out_dir=str(tmp_path), debug=True, cargarse_basura=False,
+                 images=[{'img': 'a.tif'}, {'img': 'b.tif'},
+                         {'img': 'c.tif'}])
+    pipeline.heights_fusion(cfg, {'dir': str(tile_dir)})
+    for i, (val, off) in enumerate([(10.0, 2.0), (11.0, 4.0)]):
+        p = tile_dir / f'pair_{i + 1}' / 'height_map_registered.tif'
+        assert p.exists()
+        reg = geotiff.read(str(p))
+        assert np.allclose(reg, val - off + 3.0)   # mean(offsets) = 3
+    assert (tile_dir / 'height_map.tif').exists()
+
+
 def test_config_roundtrip(tmp_path):
     cfg = Config(tile_size=512, filtering_3d_r=5.0)
     p = str(tmp_path / 'c.json')
