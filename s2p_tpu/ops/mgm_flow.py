@@ -478,7 +478,7 @@ def _flow_lane_folded(a_bt, b_bt, dm_b, D: int, h_b, w1_b, w2_b, dt_b,
                              flow_partials_folded, lane_fold_plan,
                              unfold_lanes_v)
     B, H, W = a_bt.shape
-    _, G, Gw, Wseg = lane_fold_plan(H, W, D)
+    _, G, presum, Wseg = lane_fold_plan(H, W, D)
     extra = Wseg - W
     interp = v.backend == 'interpret'
     census = jax.vmap(lambda im: census_bits_raw(im, v.census_win)[..., 0])
@@ -506,11 +506,14 @@ def _flow_lane_folded(a_bt, b_bt, dm_b, D: int, h_b, w1_b, w2_b, dt_b,
         parts, votes = flow_partials_folded(sr, ss, D, v,
                                             allowed_bt=allowed, G=G,
                                             interpret=interp)
+        if presum and len(parts) > 1:
+            # one extra volume round-trip, but the WTA's VMEM windows
+            # halve -- the plan decides from the budget
+            parts = [sum(parts[1:], parts[0])]
         off_f, dint_f, _ = _wta_pallas(parts, 0, v.subpix,
                                        interpret=interp,
                                        big_guard=float(BIG) / 2,
-                                       with_dr=False, emit_offset=True,
-                                       row_block=Gw)
+                                       with_dr=False, emit_offset=True)
         off = unfold_lanes_v(off_f, B)[:, :, :W]
         d_int = unfold_lanes_v(dint_f, B)[:, :, :W]
         votes = [unfold_lanes_v(vo, B)[:, :, :W] for vo in votes]

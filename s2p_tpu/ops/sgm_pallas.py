@@ -708,21 +708,27 @@ def flow_one_side_pallas(im1, im2, disp_min, D, variant, p2map=None,
 #     block G shrinks as B grows (lane_fold_plan).
 
 def lane_fold_plan(H, W, D, n_dirs_v=3, vmem_budget=None):
-    """(fold B, scan row-block G, WTA row-block, segment width) for a
+    """(fold B, scan row-block G, WTA presum flag, segment width) for a
     lane-folded batch, sized so every pass fits the VMEM budget.
 
-    The budget is conservative: Mosaic double-buffers in/out blocks, the
-    scratch carries and the full transposed secondary (horizontal passes)
-    are resident.  ``S2P_TPU_LANE_FOLD`` / ``S2P_TPU_LANE_FOLD_G``
-    override the outcome for probing."""
+    Mosaic constraint: 2-D block shapes need their second-to-last dim
+    divisible by 8, so the row blocks stay at ``_ROW_BLOCK``; the knobs
+    that remain are the fold factor and whether the WTA reads one
+    pre-summed partial instead of two.  The budget is conservative:
+    Mosaic double-buffers in/out blocks, the scratch carries and the full
+    transposed secondary (horizontal passes) are resident.
+    ``S2P_TPU_LANE_FOLD`` overrides the fold for probing."""
     import os
+    # empirically measured on the v5e (probe_fold 2026-08-21): ~12 MiB of
+    # accounted windows compiles, ~16 MiB crashes the remote compiler --
+    # consistent with a 16 MiB VMEM arena minus runtime overheads
     budget = vmem_budget or int(os.environ.get('S2P_TPU_VMEM_BUDGET',
-                                               14 * 2 ** 20))
-    G_env = os.environ.get('S2P_TPU_LANE_FOLD_G')
+                                               12 * 2 ** 20))
+    G = _ROW_BLOCK
     Wseg = W + D
-    Wseg += (-Wseg) % _ROW_BLOCK
+    Wseg += (-Wseg) % G
 
-    def fits(B, G):
+    def fits(B):
         lanes_v = B * Wseg
         lanes_h = B * H
         # vertical scan: S out (dbl), votes out (dbl), sig1/sig2/p2 blocks
@@ -732,37 +738,27 @@ def lane_fold_plan(H, W, D, n_dirs_v=3, vmem_budget=None):
         # horizontal scan: 1 dir, full transposed secondary resident
         h = lanes_h * (G * D * 8 + G * 8 + 2 * G * 8 + D * 4 + D * 4) \
             + (Wseg + D) * lanes_h * 4
-        # WTA: two partial input windows (dbl) + three map outputs
-        gw = _wta_row_block(H, B, D, budget)
-        w = lanes_v * (2 * gw * D * 8 + 3 * gw * 8)
+        # WTA with a single pre-summed partial window (dbl) + three maps
+        w = lanes_v * (G * D * 8 + 3 * G * 8)
         return max(v, h, w) <= budget
 
-    for B in (8, 6, 4, 3, 2):
-        if H % 8 or Wseg % 8:
-            break
-        for G in (8, 4, 2):
-            if H % G or Wseg % G:
-                continue
-            if fits(B, G):
-                Bo = int(os.environ.get('S2P_TPU_LANE_FOLD', B))
-                Go = int(G_env) if G_env else G
-                return Bo, Go, _wta_row_block(H, Bo, D, budget), Wseg
-    Bo = int(os.environ.get('S2P_TPU_LANE_FOLD', 1))
-    if Bo > 1 and H % 8 == 0 and Wseg % 8 == 0:
-        return Bo, int(G_env) if G_env else 2, \
-            _wta_row_block(H, Bo, D, budget), Wseg
-    return 1, _ROW_BLOCK, _ROW_BLOCK, Wseg
-
-
-def _wta_row_block(H, B, D, budget):
-    """WTA is a streaming pass with no cross-row dependency, so its row
-    block only amortizes grid-step overhead -- shrink it freely to fit."""
-    for gw in (8, 4, 2, 1):
-        if H % gw:
-            continue
-        if B * H * (2 * gw * D * 8 + 3 * gw * 8) <= budget:
-            return gw
-    return 1
+    if H % G == 0 and Wseg % G == 0:
+        # default 1 = fold OFF: measured on the v5e (probe_fold/probe_scan
+        # 2026-08-21), the scan steps are WORK-bound, not bubble-bound --
+        # folding B=2 gains only ~6% in-kernel and loses ~20% end-to-end
+        # to the extra segment width and layout glue.  The infrastructure
+        # stays for probing (and in case a leaner per-step kernel changes
+        # the economics); PERF.md section 1 has the measurements.
+        for B in (8, 6, 4, 3, 2):
+            if fits(B):
+                Bo = int(os.environ.get('S2P_TPU_LANE_FOLD', 1))
+                Bo = min(Bo, B)
+                presum = Bo * Wseg * (2 * G * D * 8 + 3 * G * 8) > budget
+                return Bo, G, presum, Wseg
+        Bo = int(os.environ.get('S2P_TPU_LANE_FOLD', 1))
+        if Bo > 1:
+            return Bo, G, True, Wseg
+    return 1, G, False, Wseg
 
 
 def fold_lanes_v(a_bt):

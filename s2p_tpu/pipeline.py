@@ -967,6 +967,33 @@ def _stage(label):
         print('elapsed time: {:.3f} s'.format(time.time() - t0))
 
 
+# first per-tile input file each resumable stage reads; resuming a stage
+# whose inputs were swept by ``clean_intermediate`` must fail loudly, not
+# recompute on garbage.  Only the TOTAL absence of the file across tiles
+# errors -- individual missing tiles stay tolerated (failed tiles leave
+# gaps that downstream stages skip, reference __init__.py:499-507).
+_RESUME_NEEDS = {
+    2: 'pointing.txt',
+    3: 'pointing.txt',
+    4: 'rectified_sec.tif',
+    5: 'rectified_disp.tif',
+}
+
+
+def _check_resume_inputs(start_from, tiles_pairs):
+    fname = _RESUME_NEEDS.get(start_from)
+    if fname is None or not tiles_pairs:
+        return
+    if not any(os.path.exists(os.path.join(t['dir'], f'pair_{i}', fname))
+               for t, i in tiles_pairs):
+        raise RuntimeError(
+            f'start_from={start_from} resumes a stage that reads per-tile '
+            f'{fname!r}, but no tile has it: the intermediate files were '
+            f'deleted (clean_intermediate trades resumability for disk, '
+            f'reference config.py:24) or the earlier stages never ran. '
+            f'Re-run from an earlier stage.')
+
+
 def main(user_cfg, start_from=0):
     """Run the full pipeline (reference __init__.py:528-646)."""
     from . import device
@@ -1023,6 +1050,9 @@ def main(user_cfg, start_from=0):
     from .parallel import distributed as dist
     my_tiles = dist.partition_tiles(tiles)
     my_tiles_pairs = [(t, i) for i in range(1, n) for t in my_tiles]
+
+    if start_from > 0:
+        _check_resume_inputs(start_from, my_tiles_pairs)
 
     if start_from <= 1:
         with _stage('1) correcting pointing locally...'):

@@ -105,6 +105,47 @@ def test_distributed_plyflatten(triplet_run):
     compare_dsm(computed, expected, 0, 0)
 
 
+@pytest.mark.e2e
+def test_resume_start_from(pair_run):
+    """The --start_from resume contract (reference cli.py:18-20,
+    __init__.py:566-623): re-running stages 5..7 on a completed out_dir
+    reproduces the identical DSM from the stage-4 files on disk."""
+    cfg, out = pair_run
+    before = geotiff.read_with_nans(os.path.join(out, 'dsm.tif'))
+    pipeline.main(dict(cfg), start_from=5)
+    after = geotiff.read_with_nans(os.path.join(out, 'dsm.tif'))
+    assert np.array_equal(before, after, equal_nan=True)
+
+
+@pytest.mark.e2e
+def test_resume_after_clean_intermediate_errors(pair_run, tmp_path):
+    """Resuming a stage whose inputs were swept by clean_intermediate
+    fails with a clear error instead of recomputing on garbage."""
+    import shutil
+    cfg, out = pair_run
+    out2 = tmp_path / 'cleaned'
+    shutil.copytree(out, out2)
+    # simulate the post-stage-5 clean_intermediate state
+    for p in glob.glob(str(out2 / 'tiles' / '*' / '*' / 'pair_1'
+                           / 'rectified_disp.tif')):
+        os.remove(p)
+    cfg2 = dict(cfg)
+    cfg2['out_dir'] = str(out2)
+    with pytest.raises(RuntimeError, match='clean_intermediate'):
+        pipeline.main(cfg2, start_from=5)
+
+
+@pytest.mark.e2e
+def test_resume_fresh_dir_errors(pair_run, tmp_path):
+    """--start_from on an out_dir with no tiles.txt raises (parity with
+    the reference's resume contract on a fresh directory)."""
+    cfg, _ = pair_run
+    cfg2 = dict(cfg)
+    cfg2['out_dir'] = str(tmp_path / 'fresh')
+    with pytest.raises(AssertionError, match='tiles.txt'):
+        pipeline.main(cfg2, start_from=5)
+
+
 @pytest.fixture(scope='session')
 def pair_run_mgm_multi(tmp_path_factory):
     out = tmp_path_factory.mktemp('e2e_pair_multi')
