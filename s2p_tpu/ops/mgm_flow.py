@@ -405,16 +405,29 @@ def _flow_ext_jit(im1, im2, disp_min: int, D: int, variant: MgmVariant,
 def _shift_sig_cols(sig, shift, w_true, extra: int = 0):
     """shifted[y, x] = sig[y, x + shift] for x in [0, W + extra), with the
     _VALID_BIT set only where the source column lies in [0, w_true) -- the
-    disparity-rebase gather (census is translation-equivariant including
-    its NaN border bits, so shifting the SIGNATURE equals matching at base
+    disparity rebase (census is translation-equivariant including its NaN
+    border bits, so shifting the SIGNATURE equals matching at base
     ``shift``).  ``extra`` widens the output so every candidate position
     x + k of the kernel exists even when the rebase shifts content right
-    (base < w_true - W; the margin must cover the candidate count)."""
+    (base < w_true - W; the margin must cover the candidate count).
+
+    The shift is a traced scalar, so this is a ``dynamic_slice`` of a
+    padded row, NOT a gather -- XLA:TPU lowers per-pixel gathers to
+    scalar loops (measured ~2.5 ms/tile, tools/probe_ablate.py) while a
+    dynamic slice is a contiguous copy.  Out-of-range positions carry
+    zero signatures with _VALID_BIT clear; their values are never read
+    (the kernel costs them BIG), matching the old clamped-gather
+    contract bitwise."""
     H, W = sig.shape
-    xs = jnp.arange(W + extra)[None, :] + jnp.asarray(shift, jnp.int32)
+    shift = jnp.asarray(shift, jnp.int32)
+    # any shift with a valid candidate lies in (-(W+extra), w_true <= W):
+    # pad so the slice start never clamps inside that range
+    pad = W + extra
+    padded = jnp.pad(sig, ((0, 0), (pad, pad)))
+    g = jax.lax.dynamic_slice(padded, (jnp.int32(0), pad + shift),
+                              (H, W + extra))
+    xs = jnp.arange(W + extra)[None, :] + shift
     ok = (xs >= 0) & (xs < jnp.asarray(w_true, jnp.int32))
-    g = jnp.take_along_axis(sig, jnp.broadcast_to(jnp.clip(xs, 0, W - 1),
-                                                  (H, W + extra)), axis=1)
     from .sgm_pallas import _VALID_BIT
     return g | (jnp.broadcast_to(ok, (H, W + extra)).astype(jnp.uint32)
                 << _VALID_BIT)

@@ -123,7 +123,48 @@ def main():
         return jax.vmap(one)(a, b, dm)
     layers['sigs_only'] = sigs_only
 
+    @jax.jit
+    def census_only(a, b):
+        def one(aa, bb):
+            s1 = mf.census_bits_raw(aa, v.census_win)[..., 0]
+            s2 = mf.census_bits_raw(bb, v.census_win)[..., 0]
+            return s1 ^ s2
+        return jnp.sum(jax.vmap(one)(a, b), dtype=jnp.uint32)
+    layers['census_both_images'] = census_only
+
+    @jax.jit
+    def shift_only(a, b):
+        def one(bb, base):
+            s2 = mf.census_bits_raw(bb, v.census_win)[..., 0]
+            return mf._shift_sig_cols(s2, base, W, extra=D)
+        return jnp.sum(jax.vmap(one)(b, dm), dtype=jnp.uint32)
+    layers['census_plus_shift'] = shift_only
+
+    dL0 = jnp.asarray(rng.rand(NB, H, W).astype(np.float32) * 10 - 5)
+    dR0 = jnp.asarray(rng.rand(NB, H, W).astype(np.float32) * 10 - 5)
+    di0 = jnp.asarray(rng.randint(0, D, (NB, H, W)).astype(np.int32))
+    vo0 = [jnp.asarray(rng.randint(0, D, (NB, H, W)).astype(np.int32))
+           for _ in range(8)]
+
+    @jax.jit
+    def post_only(dL, dR, di, *vo):
+        out = jax.vmap(
+            lambda l, r, i, *w: mf._flow_post(l, r, i, list(w), v, W))(
+                dL, dR, di, *vo)
+        return out[0][:, 0, :8], out[1][:, 0, :8]
+    layers['post_chain_only'] = None   # custom args
+
     for name, fn in layers.items():
+        if name == 'post_chain_only':
+            try:
+                t = bench(post_only, dL0, dR0, di0, *vo0)
+                print(json.dumps({'probe': 'ablate', 'layer': name,
+                                  'ms_per_tile': round(1e3 * t / NB, 3)}),
+                      flush=True)
+            except Exception as e:
+                print(json.dumps({'probe': 'ablate', 'layer': name,
+                                  'error': str(e)[:160]}), flush=True)
+            continue
         try:
             t = bench(fn, a, b)
             print(json.dumps({'probe': 'ablate', 'layer': name,
