@@ -249,15 +249,40 @@ def _median3x3(x, v: MgmVariant):
     return med
 
 
-def _lr_kill(dL, dR, v: MgmVariant, w2):
+def _lr_kill(dL, dR, v: MgmVariant, w2, k_lo=None, k_cnt: int = None):
     """main_mgm leftright_test: index the right map at x + round(dL);
     out-of-image landings (by the TRUE secondary width) die; |dL + dR| >
     tau dies; NaN dR at the landing makes the C comparison false ->
-    survives (lr_nan_survives)."""
+    survives (lr_nan_survives).
+
+    When the caller knows the landing-offset window (``k_lo`` traced
+    lower bound, ``k_cnt`` STATIC count -- every finite rounded disparity
+    lies in [k_lo, k_lo + k_cnt)), the per-pixel landing lookup runs as a
+    dynamic slice + k_cnt static shift-selects instead of a
+    take_along_axis gather: XLA:TPU lowers the gather to a scalar loop
+    (~3.2 ms/tile measured, tools/probe_ablate.py) while the shifted
+    selects fuse into one vector pass.  Pixels whose rounded offset falls
+    outside the window read NaN -- only possible for NaN disparities or
+    out-of-image landings, where the output is NaN either way, so both
+    paths are bitwise identical."""
     h, w = dL.shape
-    xx = jnp.arange(w)[None, :] + jnp.round(jnp.nan_to_num(dL)).astype(jnp.int32)
+    r = jnp.round(jnp.nan_to_num(dL)).astype(jnp.int32)
+    xx = jnp.arange(w)[None, :] + r
     inb = (xx >= 0) & (xx < jnp.asarray(w2, jnp.int32))
-    dR_at = jnp.take_along_axis(dR, jnp.clip(xx, 0, dR.shape[1] - 1), axis=1)
+    if k_cnt is None:
+        dR_at = jnp.take_along_axis(dR, jnp.clip(xx, 0, dR.shape[1] - 1),
+                                    axis=1)
+    else:
+        k_lo = jnp.asarray(k_lo, jnp.int32)
+        pad = w + k_cnt
+        dRw = jnp.pad(dR, ((0, 0), (pad, pad)),
+                      constant_values=jnp.nan)
+        dRw = jax.lax.dynamic_slice(dRw, (jnp.int32(0), pad + k_lo),
+                                    (h, w + k_cnt))
+        kk = r - k_lo
+        dR_at = jnp.full_like(dL, jnp.nan)
+        for j in range(k_cnt):
+            dR_at = jnp.where(kk == j, dRw[:, j:j + w], dR_at)
     bad = jnp.abs(dL + dR_at) > v.lr_tau
     if v.lr_nan_survives:
         bad = bad & jnp.isfinite(dR_at)
@@ -286,7 +311,8 @@ def _use_pallas_flow(im1, im2, disp_min, D, v: MgmVariant,
 
 
 def _mgm_one_side(im1, im2, disp_min, D: int, v: MgmVariant,
-                  h1=None, w1=None, w2=None, p2_map=None, d_true=None):
+                  h1=None, w1=None, w2=None, p2_map=None, d_true=None,
+                  need_votes=True):
     if _use_pallas_flow(im1, im2, disp_min, D, v, h1, w1, w2, d_true):
         from .sgm_pallas import flow_one_side_pallas
         ext = None
@@ -297,7 +323,8 @@ def _mgm_one_side(im1, im2, disp_min, D: int, v: MgmVariant,
                    D if d_true is None else int(d_true))
         disp, d_int, votes = flow_one_side_pallas(
             im1, im2, int(disp_min), D, v, p2_map,
-            interpret=(v.backend == 'interpret'), ext=ext)
+            interpret=(v.backend == 'interpret'), ext=ext,
+            emit_votes=need_votes)
         if ext is not None:
             h, w = disp.shape
             disp = jnp.where(_pad_mask(h, w, ext[0], ext[1]), jnp.nan, disp)
@@ -321,14 +348,16 @@ def _mgm_one_side(im1, im2, disp_min, D: int, v: MgmVariant,
     return disp, d_int, votes
 
 
-def _flow_post(dL, dR, d_int, votes, v: MgmVariant, w2_true):
-    """The flow's post chain: median placement, LR test, confidence."""
+def _flow_post(dL, dR, d_int, votes, v: MgmVariant, w2_true,
+               k_lo=None, k_cnt=None):
+    """The flow's post chain: median placement, LR test, confidence.
+    ``k_lo``/``k_cnt``: the LR landing-offset window (see _lr_kill)."""
     if v.median_order == 'before_lr':
         dL = _median3x3(dL, v)
         if dR is not None:
             dR = _median3x3(dR, v)
     if dR is not None:
-        dL = _lr_kill(dL, dR, v, w2_true)
+        dL = _lr_kill(dL, dR, v, w2_true, k_lo, k_cnt)
     if v.median_order == 'after_lr':
         dL = _median3x3(dL, v)
     consensus = sum((jnp.abs(w - d_int) <= 1) for w in votes)
@@ -352,9 +381,12 @@ def _flow_core(im1, im2, disp_min, D: int, v: MgmVariant,
         dmin_r = -(disp_min + dt - 1)
         w1_true = im1.shape[1] if w1 is None else w1
         dR, _, _ = _mgm_one_side(im2, im1, dmin_r, D, v,
-                                 h1, w2, w1_true, p2_map_r, d_true)
+                                 h1, w2, w1_true, p2_map_r, d_true,
+                                 need_votes=False)
     w2_true = im2.shape[1] if w2 is None else w2
-    return _flow_post(dL, dR, d_int, votes, v, w2_true)
+    return _flow_post(dL, dR, d_int, votes, v, w2_true,
+                      k_lo=jnp.asarray(disp_min, jnp.int32) - 1,
+                      k_cnt=D + 2)
 
 
 @functools.partial(jax.jit, static_argnames=('disp_min', 'D', 'variant'))
@@ -451,7 +483,8 @@ def _flow_one_batched_pallas(a, b, dm, D, h1, w1, w2, dt, v: MgmVariant):
     allowed = (jnp.arange(D) < dt).astype(jnp.int32)
     interp = v.backend == 'interpret'
 
-    def side(sig_ref, sig_sec, base, h_ref, w_ref, w_sec):
+    def side(sig_ref, sig_sec, base, h_ref, w_ref, w_sec,
+             need_votes=True):
         pad = (ys >= h_ref) | (xs >= w_ref)
         sr = (sig_ref | (one << _VALID_BIT)
               | (pad.astype(jnp.uint32) << _PAD_BIT))
@@ -460,7 +493,8 @@ def _flow_one_batched_pallas(a, b, dm, D, h1, w1, w2, dt, v: MgmVariant):
         ss = _shift_sig_cols(sig_sec, base, w_sec, extra=D)
         parts, votes = flow_partials_from_sigs(sr, ss, 0, D, v,
                                                allowed=allowed,
-                                               interpret=interp)
+                                               interpret=interp,
+                                               emit_votes=need_votes)
         off, d_int, _ = _wta_pallas(parts, 0, v.subpix, interpret=interp,
                                     big_guard=float(BIG) / 2,
                                     with_dr=False, emit_offset=True)
@@ -475,8 +509,11 @@ def _flow_one_batched_pallas(a, b, dm, D, h1, w1, w2, dt, v: MgmVariant):
     dR = None
     if v.lr_enabled:
         dmax = dm + dt - 1
-        dR, _, _ = side(s2, s1, -dmax, h1, w2, w1)
-    return _flow_post(dL, dR, d_int, votes, v, w2)
+        # the R side's votes feed nothing (confidence is L-consensus):
+        # skip their reductions and output volumes
+        dR, _, _ = side(s2, s1, -dmax, h1, w2, w1, need_votes=False)
+    return _flow_post(dL, dR, d_int, votes, v, w2,
+                      k_lo=jnp.asarray(dm, jnp.int32) - 1, k_cnt=D + 2)
 
 
 def _flow_lane_folded(a_bt, b_bt, dm_b, D: int, h_b, w1_b, w2_b, dt_b,
@@ -505,7 +542,8 @@ def _flow_lane_folded(a_bt, b_bt, dm_b, D: int, h_b, w1_b, w2_b, dt_b,
     allowed = (jnp.arange(D)[None, :]
                < dt_b[:, None]).astype(jnp.int32)          # (B, D)
 
-    def side(sig_ref, sig_sec, base_b, h_ref_b, w_ref_b, w_sec_b):
+    def side(sig_ref, sig_sec, base_b, h_ref_b, w_ref_b, w_sec_b,
+             need_votes=True):
         def annotate(sig, h_ref, w_ref):
             srp = jnp.pad(sig, ((0, 0), (0, extra)))
             pad = (ys >= h_ref) | (xs >= w_ref)
@@ -518,7 +556,8 @@ def _flow_lane_folded(a_bt, b_bt, dm_b, D: int, h_b, w1_b, w2_b, dt_b,
                 sig_sec, base_b, w_sec_b)
         parts, votes = flow_partials_folded(sr, ss, D, v,
                                             allowed_bt=allowed, G=G,
-                                            interpret=interp)
+                                            interpret=interp,
+                                            emit_votes=need_votes)
         if presum and len(parts) > 1:
             # one extra volume round-trip, but the WTA's VMEM windows
             # halve -- the plan decides from the budget
@@ -529,7 +568,8 @@ def _flow_lane_folded(a_bt, b_bt, dm_b, D: int, h_b, w1_b, w2_b, dt_b,
                                        with_dr=False, emit_offset=True)
         off = unfold_lanes_v(off_f, B)[:, :, :W]
         d_int = unfold_lanes_v(dint_f, B)[:, :, :W]
-        votes = [unfold_lanes_v(vo, B)[:, :, :W] for vo in votes]
+        votes = [unfold_lanes_v(vo, B)[:, :, :W] for vo in votes
+                 if vo is not None]
         disp = (base_b[:, None, None].astype(jnp.float32)
                 + d_int.astype(jnp.float32)) + off
         pad = ((ys[None] >= h_ref_b[:, None, None])
@@ -539,10 +579,12 @@ def _flow_lane_folded(a_bt, b_bt, dm_b, D: int, h_b, w1_b, w2_b, dt_b,
     dL, d_int, votes = side(s1_raw, s2_raw, dm_b, h_b, w1_b, w2_b)
     if v.lr_enabled:
         dmax_b = dm_b + dt_b - 1
-        dR, _, _ = side(s2_raw, s1_raw, -dmax_b, h_b, w2_b, w1_b)
+        dR, _, _ = side(s2_raw, s1_raw, -dmax_b, h_b, w2_b, w1_b,
+                        need_votes=False)
         return jax.vmap(
-            lambda dl, dr, di, vo, w2: _flow_post(dl, dr, di, vo, v, w2))(
-                dL, dR, d_int, votes, w2_b)
+            lambda dl, dr, di, vo, w2, kl: _flow_post(
+                dl, dr, di, vo, v, w2, k_lo=kl, k_cnt=D + 2))(
+                dL, dR, d_int, votes, w2_b, dm_b - 1)
     return jax.vmap(
         lambda dl, di, vo, w2: _flow_post(dl, None, di, vo, v, w2))(
             dL, d_int, votes, w2_b)
@@ -829,8 +871,15 @@ def _multi_core(im1, im2, disp_min, D: int, v: MgmVariant,
         if v.lr_enabled:
             w2_true = b.shape[1] if ew2 is None else ew2
             w1_true = a.shape[1] if ew1 is None else ew1
-            dLk = _lr_kill(dL, dR, v, w2_true)
-            dRk = _lr_kill(dR, dL, v, w1_true)
+            # landing-offset windows: dL values lie in [dmin_s, dmax_s],
+            # dR in [-dmax_s, -dmin_s]; dmax_s - dmin_s <= D_s + 1 (the
+            # floor/ceil level bounds), +3 rounding/margin (see _lr_kill)
+            dLk = _lr_kill(dL, dR, v, w2_true,
+                           k_lo=jnp.asarray(dmin_s, jnp.int32) - 1,
+                           k_cnt=D_s + 4)
+            dRk = _lr_kill(dR, dL, v, w1_true,
+                           k_lo=-jnp.asarray(dmax_s, jnp.int32) - 1,
+                           k_cnt=D_s + 4)
             dL, dR = dLk, dRk
         if v.median_order == 'after_lr':
             dL = _median3x3(dL, v)

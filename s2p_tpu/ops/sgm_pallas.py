@@ -75,15 +75,22 @@ def _minconv(L, p1, p2):
 def _scan_kernel(*refs,
                  D, W, G, n_steps, disp_min, dirs, p1, invalid_cost,
                  sig_mask, reverse, horizontal, pad, sec_len,
-                 sub_cost_mult=0.0, has_allowed=False, seg_w=None):
+                 sub_cost_mult=0.0, has_allowed=False, seg_w=None,
+                 emit_votes=True, has_accum=False):
+    refs = list(refs)
     if has_allowed:
         # (D, 1) int32 per-tile candidate mask (the bucket's disparity-axis
         # padding and the tile's true range; mgm_flow batch contract)
-        sig1_ref, sig2_ref, p2_ref, allowed_ref, S_ref, votes_ref, \
-            *carries = refs
+        sig1_ref, sig2_ref, p2_ref, allowed_ref = refs[:4]
+        del refs[:4]
     else:
-        sig1_ref, sig2_ref, p2_ref, S_ref, votes_ref, *carries = refs
+        sig1_ref, sig2_ref, p2_ref = refs[:3]
+        del refs[:3]
         allowed_ref = None
+    accum_ref = refs.pop(0) if has_accum else None
+    S_ref = refs.pop(0)
+    votes_ref = refs.pop(0) if emit_votes else None
+    carries = refs
     """One grid step: G scan rows through all ``dirs`` DP recursions.
 
     For vertical passes, W is the image width (lane axis = x, the disparity
@@ -192,22 +199,29 @@ def _scan_kernel(*refs,
             carries[d_idx][:] = L_new
             Ssum = L_new if Ssum is None else Ssum + L_new
 
-            mn = jnp.min(L_new, axis=0, keepdims=True)
-            am = jnp.min(jnp.where(L_new == mn, k_ids, D), axis=0,
-                         keepdims=True)
-            votes_ref[d_idx, pl.ds(row, 1), :] = am
+            if votes_ref is not None:
+                mn = jnp.min(L_new, axis=0, keepdims=True)
+                am = jnp.min(jnp.where(L_new == mn, k_ids, D), axis=0,
+                             keepdims=True)
+                votes_ref[d_idx, pl.ds(row, 1), :] = am
 
         if sub_cost_mult:
             # the MGM energy-overcount fix S = sum_r L_r - (n-1)*c
             # (TSGM_FIX_OVERCOUNT=1), folded into one pass
             Ssum = Ssum - jnp.float32(sub_cost_mult) * cost
+        if accum_ref is not None:
+            # accumulate the previous same-orientation pass in-place
+            # (input aliased to this output): saves the full-volume
+            # XLA add between passes
+            Ssum = Ssum + accum_ref[pl.ds(row, 1), :, :].reshape(D, W)
         S_ref[pl.ds(row, 1), :, :] = Ssum.reshape(1, D, W)
 
 
 def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, p1,
                       invalid_cost, nbits, reverse, horizontal,
                       interpret=False, sub_cost_mult=0.0, allowed=None,
-                      sec_len=None, seg_w=None, row_block=None):
+                      sec_len=None, seg_w=None, row_block=None,
+                      emit_votes=True, accum=None):
     """All same-orientation directions in one streaming pass.
 
     Args:
@@ -247,7 +261,8 @@ def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, p1,
         dirs=tuple(dirs), p1=p1, invalid_cost=invalid_cost,
         sig_mask=sig_mask, reverse=reverse, horizontal=horizontal, pad=pad,
         sec_len=sec_len, sub_cost_mult=sub_cost_mult,
-        has_allowed=allowed is not None, seg_w=seg_w)
+        has_allowed=allowed is not None, seg_w=seg_w,
+        emit_votes=emit_votes, has_accum=accum is not None)
 
     if horizontal:
         sig2_spec = pl.BlockSpec(memory_space=pltpu.VMEM)   # full array
@@ -266,25 +281,35 @@ def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, p1,
     if allowed is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         operands.append(allowed)
+    io_aliases = {}
+    if accum is not None:
+        in_specs.append(pl.BlockSpec((G, D, W), lambda i: (idx(i), 0, 0),
+                                     memory_space=pltpu.VMEM))
+        io_aliases = {len(operands): 0}
+        operands.append(accum)
 
-    return pl.pallas_call(
+    out_specs = [pl.BlockSpec((G, D, W), lambda i: (idx(i), 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((N, D, W), jnp.float32)]
+    if emit_votes:
+        out_specs.append(pl.BlockSpec((n_dirs, G, W),
+                                      lambda i: (0, idx(i), 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((n_dirs, N, W), jnp.int32))
+    outs = pl.pallas_call(
         kernel,
         grid=(n_steps,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((G, D, W), lambda i: (idx(i), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_dirs, G, W), lambda i: (0, idx(i), 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((N, D, W), jnp.float32),
-            jax.ShapeDtypeStruct((n_dirs, N, W), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((D, W), jnp.float32)
                         for _ in range(n_dirs)],
+        input_output_aliases=io_aliases,
         interpret=interpret,
     )(*operands)
+    if emit_votes:
+        return outs
+    return outs[0], None
 
 
 def _wta_kernel(*refs, D, W, G, disp_min, subpix, n_parts,
@@ -577,7 +602,8 @@ def flow_sigs(im1, im2, win, h1=None, w1=None, w2=None):
 
 
 def flow_partials_from_sigs(s1, s2, disp_min: int, D: int, variant,
-                            p2map=None, allowed=None, interpret=False):
+                            p2map=None, allowed=None, interpret=False,
+                            emit_votes=True):
     """Aggregation partials of the faithful flow from bit-annotated
     signatures: classic independent scans (tsgm=1), BIG out-of-range
     costs, the TSGM_FIX_OVERCOUNT subtraction folded into the first pass.
@@ -622,7 +648,7 @@ def flow_partials_from_sigs(s1, s2, disp_min: int, D: int, variant,
     run = functools.partial(_scan_pass_pallas, D=D, disp_min=disp_min,
                             p1=variant.p1, invalid_cost=float(BIG),
                             nbits=nbits, interpret=interpret,
-                            allowed=allowed)
+                            allowed=allowed, emit_votes=emit_votes)
 
     S_v = S_h = None
     votes = [None] * len(dirs)
@@ -634,16 +660,17 @@ def flow_partials_from_sigs(s1, s2, disp_min: int, D: int, variant,
             sub = 0.0            # exactly one pass applies the fix
         if key in ('vf', 'vb'):
             Sp, v = run(s1, s2, p2map, dirs=lats, reverse=(key == 'vb'),
-                        horizontal=False, **kw)
-            S_v = Sp if S_v is None else S_v + Sp
+                        horizontal=False, accum=S_v, **kw)
+            S_v = Sp
             for j, i in enumerate(dir_idx):
-                votes[i] = v[j]
+                votes[i] = v[j] if v is not None else None
         else:
             Sp, v = run(s1t, s2tp, p2t, dirs=lats, reverse=(key == 'hb'),
-                        horizontal=True, sec_len=h_sec_len, **kw)
-            S_h = Sp if S_h is None else S_h + Sp
+                        horizontal=True, sec_len=h_sec_len, accum=S_h,
+                        **kw)
+            S_h = Sp
             for j, i in enumerate(dir_idx):
-                votes[i] = v[j].T
+                votes[i] = v[j].T if v is not None else None
 
     parts = []
     if S_v is not None:
@@ -654,7 +681,7 @@ def flow_partials_from_sigs(s1, s2, disp_min: int, D: int, variant,
 
 
 def flow_one_side_pallas(im1, im2, disp_min, D, variant, p2map=None,
-                         interpret=False, ext=None):
+                         interpret=False, ext=None, emit_votes=True):
     """One side of the binary-faithful flow: (disp_raw, d_int, votes),
     matching ops.mgm_flow._mgm_one_side's WTA semantics exactly.
     ``ext`` = optional static (h1, w1, w2, d_true) true extents of a
@@ -670,7 +697,8 @@ def flow_one_side_pallas(im1, im2, disp_min, D, variant, p2map=None,
     s1, s2 = flow_sigs(im1, im2, variant.census_win, h1, w1, w2)
     parts, votes = flow_partials_from_sigs(s1, s2, int(disp_min), D,
                                            variant, p2map, allowed,
-                                           interpret)
+                                           interpret,
+                                           emit_votes=emit_votes)
     off, d_int, _ = _wta_pallas(parts, int(disp_min), variant.subpix,
                                 interpret=interpret,
                                 big_guard=float(BIG) / 2, with_dr=False,
@@ -781,7 +809,8 @@ def _fold_lanes_h(a_bt):
 
 
 def flow_partials_folded(s1_bt, s2_bt, D: int, variant, p2=None,
-                         allowed_bt=None, G=None, interpret=False):
+                         allowed_bt=None, G=None, interpret=False,
+                         emit_votes=True):
     """Aggregation partials for a lane-folded tile batch.
 
     Args:
@@ -836,7 +865,8 @@ def flow_partials_folded(s1_bt, s2_bt, D: int, variant, p2=None,
 
     run = functools.partial(_scan_pass_pallas, D=D, disp_min=0,
                             p1=variant.p1, invalid_cost=float(BIG),
-                            nbits=nbits, interpret=interpret, row_block=G)
+                            nbits=nbits, interpret=interpret, row_block=G,
+                            emit_votes=emit_votes)
 
     S_v = S_h = None
     votes = [None] * len(dirs)
@@ -849,20 +879,22 @@ def flow_partials_folded(s1_bt, s2_bt, D: int, variant, p2=None,
         if key in ('vf', 'vb'):
             Sp, v = run(s1v, s2v, p2v, dirs=lats, reverse=(key == 'vb'),
                         horizontal=False, seg_w=Wseg,
-                        sec_len=B * Wseg, allowed=allowed_v, **kw)
-            S_v = Sp if S_v is None else S_v + Sp
+                        sec_len=B * Wseg, allowed=allowed_v, accum=S_v,
+                        **kw)
+            S_v = Sp
             for j, i in enumerate(dir_idx):
-                votes[i] = v[j]
+                votes[i] = v[j] if v is not None else None
         else:
             Sp, v = run(s1h, s2h, p2h, dirs=lats, reverse=(key == 'hb'),
                         horizontal=True, seg_w=H,
-                        sec_len=Wseg + D, allowed=allowed_h, **kw)
-            S_h = Sp if S_h is None else S_h + Sp
+                        sec_len=Wseg + D, allowed=allowed_h, accum=S_h,
+                        **kw)
+            S_h = Sp
             for j, i in enumerate(dir_idx):
                 # (Wseg, B*H) -> (H, B*Wseg)
                 votes[i] = jnp.transpose(
                     v[j].reshape(Wseg, B, H), (2, 1, 0)) \
-                    .reshape(H, B * Wseg)
+                    .reshape(H, B * Wseg) if v is not None else None
 
     parts = []
     if S_v is not None:

@@ -161,16 +161,22 @@ def test_end2end_pair_mgm_multi(pair_run_mgm_multi):
     """Scene-level gate for the mgm_multi cascade (s2p's production
     matcher for real scenes, reference block_matching.py:268-310).
 
-    The committed golden DSM is an mgm product, so the comparison runs at
-    the triplet-class tolerances (0.05 m mean / 2 m p99) plus a 5%
-    valid-count band: the multiscale cascade is more conservative than
-    plain mgm (speckle filter, per-level LR) and keeps ~2% fewer pixels.
-    Measured on this scene (2026-08, committed log
-    logs/pair_cpu_multi_r4.log): mean -0.029 m, p99 1.71 m, valid count
-    -2.1% vs golden.
+    Primary gate: the committed mgm_multi golden
+    (tests/golden/pair_mgm_multi_dsm.tif, produced by THIS pipeline on
+    CPU, bitwise-reproducible across rounds 4 and 5) at reference
+    pair-class tolerances -- this pins the cascade's own behavior.
+    Sanity bound: the reference's mgm golden at triplet-class tolerances
+    + a 5% valid-count band (the cascade keeps ~2% fewer pixels than
+    plain mgm; measured mean -0.029 m, p99 1.71 m vs that golden).
     """
     _, out = pair_run_mgm_multi
     computed = geotiff.read_with_nans(os.path.join(out, 'dsm.tif'))
+
+    own_golden = geotiff.read_with_nans(
+        os.path.join(os.path.dirname(__file__), 'golden',
+                     'pair_mgm_multi_dsm.tif'))
+    compare_dsm(computed, own_golden, 0.025, 1)
+
     expected = geotiff.read_with_nans(
         data_path('expected_output/pair/dsm.tif'))
     np.testing.assert_equal(computed.shape, expected.shape)
