@@ -171,18 +171,18 @@ _SCALING_WORKER = r"""
 import json, os, sys, time
 os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
                            + ' --xla_force_host_platform_device_count=8'
-                           + ' --xla_cpu_multi_thread_eigen=false'
-                           + ' intra_op_parallelism_threads=1')
+                           + ' --xla_cpu_multi_thread_eigen=false')
 import jax
 jax.config.update('jax_platforms', 'cpu')
 import jax.numpy as jnp
 import numpy as np
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.getcwd())
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from s2p_tpu.core.matching import mgm_variant_from_cfg
 from s2p_tpu.config import Config
 from s2p_tpu.ops.mgm_flow import mgm_binary_match_batch
 
+n_dev = int(sys.argv[1])
 variant = mgm_variant_from_cfg(Config(roi={'x': 0, 'y': 0, 'w': 1, 'h': 1}))
 B, H, W, D = 8, 256, 320, 48
 rng = np.random.RandomState(0)
@@ -190,47 +190,54 @@ b1 = rng.rand(B, H, W).astype(np.float32) * 1000
 b2 = np.roll(b1, 5, axis=2) + rng.rand(B, H, W).astype(np.float32)
 ints = jnp.full((B,), 1, jnp.int32)
 
-
-def run(n_dev):
-    mesh = Mesh(np.array(jax.devices()[:n_dev]), ('tiles',))
-    sh = NamedSharding(mesh, P('tiles'))
-    s1 = NamedSharding(mesh, P('tiles'))
-    a = jax.device_put(jnp.asarray(b1), sh)
-    b = jax.device_put(jnp.asarray(b2), sh)
-    args = [jax.device_put(v, s1) for v in
-            (jnp.full((B,), -24, jnp.int32), ints * (H - 8), ints * (W - 8),
-             ints * (W - 8), ints * D)]
-
-    def step():
-        return mgm_binary_match_batch(a, b, args[0], D, args[1], args[2],
-                                      args[3], args[4], variant)
-    np.asarray(step()['disp'])
-    n_iter = 3
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = step()
-    np.asarray(out['disp'])
-    return B / ((time.perf_counter() - t0) / n_iter)
+mesh = Mesh(np.array(jax.devices()[:n_dev]), ('tiles',))
+sh = NamedSharding(mesh, P('tiles'))
+a = jax.device_put(jnp.asarray(b1), sh)
+b = jax.device_put(jnp.asarray(b2), sh)
+args = [jax.device_put(v, sh) for v in
+        (jnp.full((B,), -24, jnp.int32), ints * (H - 8), ints * (W - 8),
+         ints * (W - 8), ints * D)]
 
 
-t1 = run(1)
-t2 = run(2)
-t8 = run(8)
-print(json.dumps({'tiles_per_s_1dev': t1, 'tiles_per_s_2dev': t2,
-                  'tiles_per_s_8dev': t8}))
+def step():
+    return mgm_binary_match_batch(a, b, args[0], D, args[1], args[2],
+                                  args[3], args[4], variant)
+
+
+np.asarray(step()['disp'])
+n_iter = 3
+t0 = time.perf_counter()
+for _ in range(n_iter):
+    out = step()
+np.asarray(out['disp'])
+print(json.dumps({'tiles_per_s': B / ((time.perf_counter() - t0) / n_iter)}))
 """
 
 
 def bench_scaling_virtual_mesh():
-    """Stage-4 tiles/s at 1 vs 8 (virtual CPU) devices, in a subprocess so
-    the TPU process keeps its backend.  Virtual host devices share the
-    machine's cores, so the parallel efficiency measured here is a LOWER
-    bound for real chips (BASELINE.md target: >= 80% linear 1 -> N)."""
+    """Stage-4 tiles/s at 1 vs 2 vs 8 virtual CPU devices, each config in
+    its own subprocess PINNED to as many physical cores as devices
+    (taskset): XLA:CPU's runtime threads are shared across virtual
+    devices, so an unpinned 1-device baseline silently uses every core
+    and deflates the measured efficiency (the round-4 0.609 artifact;
+    PERF.md section 6).  Efficiency = t_2dev / (2 * t_1dev@1core), with
+    ~2x physically available.  Still a LOWER bound for real chips
+    (BASELINE.md target: >= 80% linear 1 -> N)."""
     import subprocess
-    out = subprocess.run([sys.executable, '-c', _SCALING_WORKER],
-                         capture_output=True, timeout=1200)
-    line = out.stdout.decode().strip().splitlines()[-1]
-    return json.loads(line)
+
+    def run_one(n_dev, cores):
+        cmd = ['taskset', '-c', cores, sys.executable, '-c',
+               _SCALING_WORKER, str(n_dev)]
+        out = subprocess.run(cmd, capture_output=True, timeout=1200)
+        line = out.stdout.decode().strip().splitlines()[-1]
+        return json.loads(line)['tiles_per_s']
+
+    ncore = os.cpu_count() or 1
+    t1 = run_one(1, '0')
+    t2 = run_one(2, '0,1') if ncore >= 2 else None
+    t8 = run_one(8, ','.join(str(c) for c in range(min(8, ncore))))
+    return {'tiles_per_s_1dev': t1, 'tiles_per_s_2dev': t2,
+            'tiles_per_s_8dev': t8}
 
 
 def main():
@@ -270,13 +277,12 @@ def main():
     try:
         sc = bench_scaling_virtual_mesh()
         ncore = os.cpu_count() or 1
-        # headline efficiency: 1 -> min(n_cores, 8) virtual devices.  On
-        # this host (2 cores) 8 vdevs oversubscribe the cores 4x and
-        # measure scheduling, not partition efficiency; 1 -> 2 on 2 cores
-        # is the point where ~2x is physically available.
-        n_eff = 2 if ncore >= 2 else 1
+        # headline efficiency: 1 device on 1 pinned core -> 2 devices on
+        # 2 pinned cores (the point where ~2x is physically available);
+        # the 8-vdev number on 2 cores oversubscribes 4x and measures
+        # scheduling, kept for information only.
         eff = round(sc['tiles_per_s_2dev'] / sc['tiles_per_s_1dev'] / 2, 3) \
-            if n_eff == 2 else None    # unmeasurable on a 1-core host
+            if sc['tiles_per_s_2dev'] else None
         print(json.dumps({'metric': 'stage4_scaling_vdev',
                           'parallel_efficiency_1to2': eff,
                           'speedup_1to8': round(
@@ -286,7 +292,8 @@ def main():
                           'tiles_per_s_2dev': round(sc['tiles_per_s_2dev'], 3),
                           'tiles_per_s_8dev': round(sc['tiles_per_s_8dev'], 3),
                           'host_cores': ncore,
-                          'note': 'virtual CPU mesh: lower bound for chips'}),
+                          'note': 'virtual CPU mesh, taskset-pinned cores '
+                                  'per device: lower bound for chips'}),
               file=sys.stderr)
     except Exception as e:
         print(json.dumps({'metric': 'scaling_bench_error',

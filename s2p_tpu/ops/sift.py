@@ -386,6 +386,53 @@ def _fetch_all(arrays):
     return [np.asarray(a) for a in arrays]
 
 
+@functools.lru_cache(maxsize=1)
+def _concat_jit():
+    import jax
+    import jax.numpy as jnp
+    return jax.jit(lambda *xs: jnp.concatenate(xs, axis=0))
+
+
+def _fetch_concat(arrays):
+    """Fetch MANY uniform-width device arrays as ONE device-side
+    concatenation + ONE device->host copy, split back on the host.
+
+    The tunnel charges a fixed per-request latency (~25 ms measured), so
+    a 64-array wave costs ~1.8 s via _fetch_all but one round trip here;
+    falls back to _fetch_all for mixed shapes/dtypes or host arrays."""
+    arrs = list(arrays)
+    if len(arrs) < 2:
+        return _fetch_all(arrs)
+    try:
+        sig = {(a.shape[1:], str(a.dtype)) for a in arrs}
+    except AttributeError:
+        return _fetch_all(arrs)
+    if len(sig) != 1:
+        return _fetch_all(arrs)
+
+    # crops round-robin over local devices: concat per device (one round
+    # trip each; a single round trip on the one-chip production path)
+    def dev_of(a):
+        try:
+            return next(iter(a.devices()))
+        except Exception:
+            return None
+    by_dev = {}
+    for i, a in enumerate(arrs):
+        by_dev.setdefault(dev_of(a), []).append(i)
+    out = [None] * len(arrs)
+    for idxs in by_dev.values():
+        if len(idxs) == 1:
+            out[idxs[0]] = np.asarray(arrs[idxs[0]])
+            continue
+        host = np.asarray(_concat_jit()(*[arrs[i] for i in idxs]))
+        k = 0
+        for i in idxs:
+            out[i] = host[k:k + arrs[i].shape[0]]
+            k += arrs[i].shape[0]
+    return out
+
+
 def _descriptors_batch_impl(grad_mag, grad_ori, yc, xc, sigma, theta):
     """Batched 128-d SIFT descriptors (4x4x8, trilinear, 0.2 clip, 512
     quantization) for n (keypoint, orientation) jobs sharing one gradient
@@ -598,9 +645,59 @@ def _match_kernel_jit():
         best = jnp.min(sq, axis=1)
         sq2 = jnp.where(cols == nn[:, None], big, sq)
         second = jnp.min(sq2, axis=1)
-        return nn, best, second
+        # one (N1, 3) output: a wave of pairs fetches as ONE concat copy
+        # (nn < 2^24 is exact in f32)
+        return jnp.stack([nn.astype(jnp.float32), best, second], axis=1)
 
     return jax.jit(kernel)
+
+
+@functools.lru_cache(maxsize=1)
+def _match_kernel_split_jit():
+    """The match kernel with (x, y, scale, theta) heads and 128-d
+    descriptors as SEPARATE operands, so device-resident descriptor
+    chunks feed it without a host round trip.  Same math and outputs as
+    _match_kernel_jit (heads supply the epipolar line, descriptors the
+    distances)."""
+    import jax
+    import jax.numpy as jnp
+
+    def kernel(meta1, d1, meta2, d2, n1, n2, fc, gate):
+        sq = (jnp.sum(d1 * d1, axis=1)[:, None]
+              + jnp.sum(d2 * d2, axis=1)[None, :]
+              - 2.0 * jnp.dot(d1, d2.T, preferred_element_type=jnp.float32))
+        sq = jnp.maximum(sq, 0.0)
+        lin = (fc[0] * meta2[None, :, 0] + fc[1] * meta2[None, :, 1]
+               + (fc[2] * meta1[:, 0] + fc[3] * meta1[:, 1]
+                  + fc[4])[:, None])
+        big = jnp.float32(jnp.inf)
+        cols = jnp.arange(d2.shape[0])[None, :]
+        sq = jnp.where((jnp.abs(lin) > gate) | (cols >= n2), big, sq)
+        nn = jnp.argmin(sq, axis=1)
+        best = jnp.min(sq, axis=1)
+        sq2 = jnp.where(cols == nn[:, None], big, sq)
+        second = jnp.min(sq2, axis=1)
+        return jnp.stack([nn.astype(jnp.float32), best, second], axis=1)
+
+    return jax.jit(kernel)
+
+
+@functools.lru_cache(maxsize=32)
+def _pad_concat_jit(N: int):
+    """Device-side concatenate + slice/pad of descriptor chunks to N
+    rows (rows beyond the true count are garbage either way -- the match
+    kernel masks them)."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(*chunks):
+        cat = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 \
+            else chunks[0]
+        if cat.shape[0] >= N:
+            return cat[:N]
+        return jnp.pad(cat, ((0, N - cat.shape[0]), (0, 0)))
+
+    return jax.jit(f)
 
 
 def _match_device(k1, k2, fc, gate, bucket=2048):
@@ -612,11 +709,10 @@ def _match_device(k1, k2, fc, gate, bucket=2048):
     k2p = np.zeros((N2, k2.shape[1]), np.float32)
     k1p[:n1] = k1
     k2p[:n2] = k2
-    nn, best, second = _match_kernel_jit()(k1p, k2p, n1, n2,
-                                           fc.astype(np.float32),
-                                           np.float32(gate))
-    return (np.asarray(nn)[:n1], np.asarray(best)[:n1],
-            np.asarray(second)[:n1])
+    out = np.asarray(_match_kernel_jit()(k1p, k2p, n1, n2,
+                                         fc.astype(np.float32),
+                                         np.float32(gate)))[:n1]
+    return (out[:, 0].astype(np.int64), out[:, 1], out[:, 2])
 
 def keypoints_match(k1, k2, method='relative', sift_thresh=0.6, F=None,
                     epipolar_threshold=10, model=None, ransac_max_err=0.3):
@@ -714,19 +810,72 @@ def ransac_fundamental_matrix(matches, ntrials=1000, max_err=0.3, seed=0):
         d1 = num / np.hypot(l1[:, 0], l1[:, 1])
         return np.maximum(d1, d2)
 
-    best_count = -1
-    best_inl = np.zeros(n, dtype=bool)
-    for _ in range(ntrials):
-        sub = m[rng.choice(n, size=min(8, n), replace=False)]
-        try:
-            F = eight_point(sub)
-        except np.linalg.LinAlgError:
-            continue
-        inl = epi_errors(F) < max_err
-        cnt = int(inl.sum())
-        if cnt > best_count:
-            best_count = cnt
-            best_inl = inl
+    # draw every trial's subset with the EXACT RandomState consumption of
+    # the original per-trial loop (bitwise-stable inlier sets), then solve
+    # all eight-point problems as one batched LAPACK call -- the Python
+    # loop of 1000 small SVDs was ~0.25 s per pair (stage-1 probe)
+    k = min(8, n)
+    subs_idx = np.stack([rng.choice(n, size=k, replace=False)
+                         for _ in range(ntrials)])
+    try:
+        a = m[subs_idx][:, :, 0:2]                     # (T, k, 2)
+        b = m[subs_idx][:, :, 2:4]
+
+        def normalize_b(p):
+            c = p.mean(axis=1, keepdims=True)          # (T, 1, 2)
+            d = np.linalg.norm(p - c, axis=2).mean(axis=1)
+            s = np.sqrt(2) / np.maximum(d, 1e-12)      # (T,)
+            return (p - c) * s[:, None, None], c[:, 0], s
+
+        an, ca, sa = normalize_b(a)
+        bn, cb, sb = normalize_b(b)
+        one = np.ones((ntrials, k))
+        X = np.stack([
+            bn[:, :, 0] * an[:, :, 0], bn[:, :, 0] * an[:, :, 1],
+            bn[:, :, 0],
+            bn[:, :, 1] * an[:, :, 0], bn[:, :, 1] * an[:, :, 1],
+            bn[:, :, 1],
+            an[:, :, 0], an[:, :, 1], one], axis=2)    # (T, k, 9)
+        f = np.linalg.svd(X)[2][:, -1].reshape(ntrials, 3, 3)
+        U, S, Vt = np.linalg.svd(f)
+        S = S.copy()
+        S[:, 2] = 0.0
+        f = U * S[:, None, :] @ Vt                     # rank-2 projection
+        Ta = np.zeros((ntrials, 3, 3))
+        Tb = np.zeros((ntrials, 3, 3))
+        for T_, c, s in ((Ta, ca, sa), (Tb, cb, sb)):
+            T_[:, 0, 0] = s
+            T_[:, 1, 1] = s
+            T_[:, 0, 2] = -s * c[:, 0]
+            T_[:, 1, 2] = -s * c[:, 1]
+            T_[:, 2, 2] = 1.0
+        Fs = np.transpose(Tb, (0, 2, 1)) @ f @ Ta      # (T, 3, 3)
+
+        l2 = np.einsum('nj,tij->tni', p1, Fs)          # p1 @ F.T per trial
+        l1 = np.einsum('nj,tji->tni', p2, Fs)          # p2 @ F per trial
+        num = np.abs(np.einsum('nj,tnj->tn', p2, l2))
+        d2 = num / np.hypot(l2[:, :, 0], l2[:, :, 1])
+        d1 = num / np.hypot(l1[:, :, 0], l1[:, :, 1])
+        with np.errstate(invalid='ignore'):
+            inls = np.maximum(d1, d2) < max_err        # (T, n)
+        counts = inls.sum(axis=1)
+        best_t = int(np.argmax(counts))                # first max, like the
+        best_count = int(counts[best_t])               # loop's strict '>'
+        best_inl = inls[best_t]
+    except np.linalg.LinAlgError:
+        # rare degenerate batch: fall back to the per-trial loop
+        best_count = -1
+        best_inl = np.zeros(n, dtype=bool)
+        for t in range(ntrials):
+            try:
+                F = eight_point(m[subs_idx[t]])
+            except np.linalg.LinAlgError:
+                continue
+            inl = epi_errors(F) < max_err
+            cnt = int(inl.sum())
+            if cnt > best_count:
+                best_count = cnt
+                best_inl = inl
     if best_count >= 8:
         F = eight_point(m[best_inl])
     else:
@@ -858,7 +1007,11 @@ def _run_match_chunk(jobs, metas, chunk, thresh_dog, use_device, finished,
             ths.append(thresh_dog[k])
     if use_device:
         from .sift_tpu import keypoints_from_arrays_tpu
-        kps = keypoints_from_arrays_tpu(crops, ths, offs)
+        # descriptors never leave the device: detection returns host
+        # (x, y, scale, theta) heads + device descriptor chunks, and the
+        # match kernel consumes the chunks in place (the ~0.5 KB/keypoint
+        # descriptor stream is stage 1's dominant d2h volume)
+        kps = keypoints_from_arrays_tpu(crops, ths, offs, device_desc=True)
     else:
         kps = [keypoints_from_array(c, t, offset=o)
                for c, t, o in zip(crops, ths, offs)]
@@ -876,31 +1029,49 @@ def _run_match_chunk(jobs, metas, chunk, thresh_dog, use_device, finished,
         match_in.append((k, k1, k2, fc, gate))
 
     if use_device:
+        bucket = 2048
         handles = []
-        for k, k1, k2, fc, gate in match_in:
-            if len(k1) == 0 or len(k2) == 0:
+        for k, m1, m2, fc, gate in match_in:
+            n1, n2 = m1['count'], m2['count']
+            if n1 == 0 or n2 == 0:
                 handles.append(None)
                 continue
-            bucket = 2048
-            N1 = -(-len(k1) // bucket) * bucket
-            N2 = -(-len(k2) // bucket) * bucket
-            k1p = np.zeros((N1, k1.shape[1]), np.float32)
-            k2p = np.zeros((N2, k2.shape[1]), np.float32)
-            k1p[:len(k1)] = k1
-            k2p[:len(k2)] = k2
-            handles.append(_match_kernel_jit()(
-                k1p, k2p, len(k1), len(k2), fc, np.float32(gate)))
-        flat = [h for hs in handles if hs is not None for h in hs]
-        _fetch_all(flat)
+            N1 = -(-n1 // bucket) * bucket
+            N2 = -(-n2 // bucket) * bucket
+            meta1 = np.zeros((N1, 4), np.float32)
+            meta2 = np.zeros((N2, 4), np.float32)
+            meta1[:n1] = m1['meta']
+            meta2[:n2] = m2['meta']
+            d1 = _pad_concat_jit(N1)(*m1['desc_chunks'])
+            d2 = _pad_concat_jit(N2)(*m2['desc_chunks'])
+            dev1, dev2 = (next(iter(d.devices())) for d in (d1, d2))
+            if dev1 != dev2:      # safety net; detection co-places pairs
+                import jax
+                d2 = jax.device_put(d2, dev1)
+            handles.append(_match_kernel_split_jit()(
+                meta1, d1, meta2, d2, n1, n2, fc, np.float32(gate)))
+        flat = [h for h in handles if h is not None]
+        fetched = iter(_fetch_concat(flat))
         tick(f'match wave ({len(match_in)} pairs)')
-        for (k, k1, k2, fc, gate), hs in zip(match_in, handles):
-            if hs is None:
+        todo = []
+        for (k, m1, m2, fc, gate), h in zip(match_in, handles):
+            if h is None:
                 finished[k] = np.zeros((0, 4), np.float32)
                 continue
-            nn, best, second = (np.asarray(a)[:len(k1)] for a in hs)
-            finished[k] = _match_finish(k1, k2, nn, best, second,
-                                        jobs[k]['method'],
-                                        jobs[k]['sift_thresh'])
+            out = next(fetched)[:m1['count']]
+            todo.append((k, m1, m2, out))
+        # the per-pair RANSAC is vectorized numpy (GIL-releasing linalg):
+        # fan it out instead of running 0.2-0.3 s per pair serially
+        import concurrent.futures as _cf
+        with _cf.ThreadPoolExecutor(max_workers=min(8, max(1, len(todo)))) \
+                as ex:
+            for k, m in zip((k for k, *_ in todo), ex.map(
+                    lambda t: _match_finish(
+                        t[1]['meta'], t[2]['meta'],
+                        t[3][:, 0].astype(np.int64), t[3][:, 1], t[3][:, 2],
+                        jobs[t[0]]['method'], jobs[t[0]]['sift_thresh']),
+                    todo)):
+                finished[k] = m
     else:
         for k, k1, k2, fc, gate in match_in:
             finished[k] = keypoints_match(
@@ -919,6 +1090,17 @@ def matches_on_rpc_roi(im1, im2, rpc1, rpc2, x, y, w, h, method='relative',
     gate, DoG-threshold halving retry, RANSAC inlier filter).
     """
     from ..core import estimation, rpc_geom
+
+    if _use_device_sift():
+        # one code path: the batch driver with a single job shares the
+        # device machinery (paired detection wave, device-resident
+        # descriptor matching); pinned bitwise-equal to this host flow
+        # by test_matches_on_rpc_roi_batch_equals_single
+        return matches_on_rpc_roi_batch([dict(
+            im1=im1, im2=im2, rpc1=rpc1, rpc2=rpc2, x=x, y=y, w=w, h=h,
+            method=method, sift_thresh=sift_thresh,
+            epipolar_threshold=epipolar_threshold,
+            alt_kwargs=alt_kwargs)])[0]
 
     x2, y2, w2, h2 = rpc_geom.corresponding_roi(rpc1, rpc2, x, y, w, h,
                                                 **alt_kwargs)

@@ -40,7 +40,7 @@ import numpy as np
 
 from .sift import (DELTA_MIN, SIGMA_MIN, SIGMA_IN, N_SPO, C_EDGE, LAMBDA_ORI,
                    LAMBDA_DESCR, N_BINS, N_HIST, N_ORI, _gauss_kernel,
-                   _hist_peaks, _fetch_all)
+                   _hist_peaks, _fetch_all, _fetch_concat)
 
 _CHUNK = 512          # jobs per orientation/descriptor dispatch
 _MARGIN = 64          # atlas outer margin (>= max patch radius)
@@ -228,6 +228,7 @@ def _pyramid_program(hb, wb, n_octaves, n_scales):
     sizes, slots, (Ha, Wa) = _octave_layout(hb, wb, n_octaves)
 
     def program(img, h, w, thresh):
+        img = img.astype(jnp.float32)   # uint16 upload path (lossless)
         sigma0 = math.sqrt(SIGMA_MIN ** 2 - SIGMA_IN ** 2) / DELTA_MIN
         v = _blur_jnp(_upsample2_jnp(img), sigma0)
         atlas = jnp.zeros((Ha, Wa), jnp.float32)
@@ -456,6 +457,13 @@ def _dispatch_pyramid(arr, thresh_dog, n_octaves, n_scales, bucket=None,
 
     sizes, slots, _ = _octave_layout(hb, wb, n_octaves)
     prog = _pyramid_program(hb, wb, n_octaves, n_scales)
+    # satellite crops are integer-valued: upload uint16 when lossless
+    # (halves the h2d bytes through the ~10-20 MB/s tunnel; the program
+    # casts back to f32 on device, bitwise identical)
+    if img.dtype == np.float32:
+        cand = img.astype(np.uint16)
+        if np.array_equal(cand.astype(np.float32), img):
+            img = cand
     img_dev = jnp.asarray(img) if device is None \
         else jax.device_put(img, device)
     atlas, tables_dev = prog(img_dev, h, w, np.float32(thresh_dog))
@@ -583,7 +591,7 @@ def _concat_fetched(handle_lists, counts, width):
     """Fetch the chunked kernel outputs of MANY images together (one
     async-copy wave), then split them back per image."""
     flat = [h for hs in handle_lists for h in hs]
-    fetched = _fetch_all(flat)
+    fetched = _fetch_concat(flat)
     outs = []
     k = 0
     for hs, n in zip(handle_lists, counts):
@@ -595,7 +603,7 @@ def _concat_fetched(handle_lists, counts, width):
 
 
 def keypoints_from_arrays_tpu(arrs, thresh_dogs, offsets=None, n_octaves=8,
-                              n_scales=3):
+                              n_scales=3, device_desc=False):
     """Device SIFT detection for MANY crops, pipelined across the tunnel.
 
     Per-image results are bitwise identical to
@@ -606,6 +614,15 @@ def keypoints_from_arrays_tpu(arrs, thresh_dogs, offsets=None, n_octaves=8,
     instead of 3 waves each -- the stage-1 analogue of the batched
     stage-4 matcher (reference fans per-tile SIFT processes,
     parallel.py:58-110).
+
+    ``device_desc=True`` keeps the 128-d descriptors ON DEVICE: returns
+    per image ``{'meta': (m, 4) float32 [x, y, scale, theta],
+    'desc_chunks': [device arrays], 'count': m}`` whose concatenated
+    chunk rows [:m] align with the meta rows.  The descriptor volume
+    (~0.5 KB/keypoint) is the dominant d2h traffic of stage 1 and is only
+    ever consumed by the device match kernel -- fetching it through the
+    tunnel (~27 MB for the pair scene, bandwidth-bound) just to re-upload
+    it is the single biggest stage-1 cost (measured 2026-08-21).
     """
     import time as _time
     _t0 = _time.perf_counter()
@@ -620,19 +637,24 @@ def keypoints_from_arrays_tpu(arrs, thresh_dogs, offsets=None, n_octaves=8,
         for i in range(0, len(arrs), _WAVE):
             out.extend(keypoints_from_arrays_tpu(
                 arrs[i:i + _WAVE], list(thresh_dogs)[i:i + _WAVE],
-                offsets[i:i + _WAVE], n_octaves, n_scales))
+                offsets[i:i + _WAVE], n_octaves, n_scales, device_desc))
         return out
     import jax
     devs = jax.local_devices()
+    # crops arrive pair-ordered (ref crop, sec crop per tile pair):
+    # keep both halves of a pair on the SAME device so the match kernel
+    # consumes their device-resident descriptors without a cross-device
+    # copy
     states = [_dispatch_pyramid(a, t, n_octaves, n_scales, bucket=b,
-                                device=devs[i % len(devs)]
+                                device=devs[(i // 2) % len(devs)]
                                 if len(devs) > 1 else None)
               for i, (a, t, b) in enumerate(zip(arrs, thresh_dogs, buckets))]
     _t1 = _time.perf_counter()
 
-    # one fetch wave for every image's candidate tables
+    # one fetch wave for every image's candidate tables (single concat
+    # round trip; per-array latency dominates through the tunnel)
     flat_tables = [t for st in states for t in st['tables_dev']]
-    fetched = _fetch_all(flat_tables)
+    fetched = _fetch_concat(flat_tables)
     _t2 = _time.perf_counter()
     k = 0
     all_groups = []
@@ -648,7 +670,14 @@ def keypoints_from_arrays_tpu(arrs, thresh_dogs, offsets=None, n_octaves=8,
 
     desc = [_dispatch_desc(st, groups, hist_all)
             for st, groups, hist_all in zip(states, all_groups, hists)]
-    descs = _concat_fetched([h for h, _ in desc], [n for _, n in desc], 128)
+    if device_desc:
+        out = [{'meta': _assemble_heads(groups, off),
+                'desc_chunks': hs, 'count': m}
+               for (hs, m), groups, off in zip(desc, all_groups, offsets)]
+        descs = None
+    else:
+        descs = _concat_fetched([h for h, _ in desc],
+                                [n for _, n in desc], 128)
     _t4 = _time.perf_counter()
     import os as _os
     if _os.environ.get('S2P_TPU_SIFT_TIMING'):
@@ -658,8 +687,30 @@ def keypoints_from_arrays_tpu(arrs, thresh_dogs, offsets=None, n_octaves=8,
               f'{_t2-_t1:.2f}s ori {_t3-_t2:.2f}s ({n_ori} jobs) desc '
               f'{_t4-_t3:.2f}s ({n_desc} jobs)', flush=True)
 
+    if device_desc:
+        return out
     return [_assemble_rows(groups, d, off)
             for groups, d, off in zip(all_groups, descs, offsets)]
+
+
+def _assemble_heads(groups, offset):
+    """The (x, y, scale, theta) head columns of _assemble_rows, in the
+    same job-stream order as the concatenated descriptor chunks [:m]."""
+    rows = []
+    for grp in groups:
+        jk = grp['job_kp']
+        if len(jk) == 0:
+            continue
+        rows.append(np.column_stack([grp['xs'][jk] * grp['delta'],
+                                     grp['ys'][jk] * grp['delta'],
+                                     grp['sigma'][jk], grp['job_theta']]))
+    if not rows:
+        return np.zeros((0, 4), dtype=np.float32)
+    kp = np.vstack(rows).astype(np.float32)
+    if offset is not None:
+        kp[:, 0] += offset[0]
+        kp[:, 1] += offset[1]
+    return kp
 
 
 def keypoints_from_array_tpu(arr, thresh_dog=0.0133, n_octaves=8,
