@@ -57,8 +57,10 @@ def probe_tunnel():
         t0 = time.perf_counter()
         np.asarray(y.ravel()[:1])
         lat.append(round(time.perf_counter() - t0, 4))
-    big = jnp.ones((1024, 2048), jnp.float32) * 3    # 8 MB
-    np.asarray(big)
+    # fresh computation each time: a jax.Array caches its host copy
+    # after the first np.asarray, so re-fetching measures nothing
+    big = (jnp.ones((1024, 2048), jnp.float32) * 3)
+    np.asarray(big.ravel()[:1])          # force compute, not transfer
     t0 = time.perf_counter()
     np.asarray(big)
     bw = 8.0 / (time.perf_counter() - t0)
