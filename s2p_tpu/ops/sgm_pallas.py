@@ -876,20 +876,23 @@ def flow_partials_folded(s1_bt, s2_bt, D: int, variant, p2=None,
         if sub:
             kw['sub_cost_mult'] = sub
             sub = 0.0
+        # NOTE: no in-kernel accum chaining here -- the aliased input
+        # window costs another G*D*8 bytes/lane of VMEM, which at fold
+        # factors >= 2 exceeds the 16 MiB arena on production buckets
+        # (measured: 16.17M request vs 16.00M limit); the folded path
+        # keeps plain XLA adds between passes
         if key in ('vf', 'vb'):
             Sp, v = run(s1v, s2v, p2v, dirs=lats, reverse=(key == 'vb'),
                         horizontal=False, seg_w=Wseg,
-                        sec_len=B * Wseg, allowed=allowed_v, accum=S_v,
-                        **kw)
-            S_v = Sp
+                        sec_len=B * Wseg, allowed=allowed_v, **kw)
+            S_v = Sp if S_v is None else S_v + Sp
             for j, i in enumerate(dir_idx):
                 votes[i] = v[j] if v is not None else None
         else:
             Sp, v = run(s1h, s2h, p2h, dirs=lats, reverse=(key == 'hb'),
                         horizontal=True, seg_w=H,
-                        sec_len=Wseg + D, allowed=allowed_h, accum=S_h,
-                        **kw)
-            S_h = Sp
+                        sec_len=Wseg + D, allowed=allowed_h, **kw)
+            S_h = Sp if S_h is None else S_h + Sp
             for j, i in enumerate(dir_idx):
                 # (Wseg, B*H) -> (H, B*Wseg)
                 votes[i] = jnp.transpose(
