@@ -54,10 +54,18 @@ def _triangulate_grid(*args):
     return _triangulate_grid_jit()(*args)
 
 
-@functools.lru_cache(maxsize=1)
-def _triangulate_grid_batch_jit():
+@functools.lru_cache(maxsize=2)
+def _triangulate_grid_batch_jit(has_dy=True):
     import jax
-    return jax.jit(jax.vmap(_triangulate_grid_impl))
+    if has_dy:
+        return jax.jit(jax.vmap(_triangulate_grid_impl))
+
+    # s2p disparities are horizontal: skip uploading a full zeros dy
+    # field per tile (~1 MB through the tunnel) and build it on device
+    def impl(dx, *rest):
+        import jax.numpy as jnp
+        return _triangulate_grid_impl(dx, jnp.zeros_like(dx), *rest)
+    return jax.jit(jax.vmap(impl))
 
 
 def _triangulate_grid_impl(disp_x, disp_y, valid, h1_inv, h2_inv,
@@ -147,8 +155,11 @@ def disp_to_xyz(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx, mask_orig,
 
     dev, meta = _prep_triangulation(rpc1, rpc2, H1, H2, disp, mask_rect,
                                     img_bbx, mask_orig, A, disp_y)
+    dy = dev['dy']
     outs = _triangulate_grid(
-        jnp.asarray(dev['dx']), jnp.asarray(dev['dy']),
+        jnp.asarray(dev['dx']),
+        jnp.zeros_like(jnp.asarray(dev['dx'])) if dy is None
+        else jnp.asarray(dy),
         jnp.asarray(dev['valid']), jnp.asarray(dev['h1_inv']),
         jnp.asarray(dev['h2_inv']), _to_jax(dev['rpc1']), _to_jax(dev['rpc2']),
         jnp.asarray(dev['mask_orig']), jnp.asarray(dev['mask_hw']),
@@ -176,7 +187,7 @@ def _prep_triangulation(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx,
     rpc2_rc = _recenter_params(rpc2.params(), col_min, row_min, lon0, lat0)
 
     dx = disp
-    dy = np.zeros_like(disp) if disp_y is None else np.asarray(disp_y, np.float32)
+    dy = None if disp_y is None else np.asarray(disp_y, np.float32)
     base_valid = np.isfinite(dx) & (np.asarray(mask_rect) != 0)
 
     # bucket the grid shape (multiples of 64) so tiles share compiled
@@ -199,7 +210,8 @@ def _prep_triangulation(rpc1, rpc2, H1, H2, disp, mask_rect, img_bbx,
     mpad = np.zeros((Mh, Mw), dtype=np.uint8)
     mpad[:mh, :mw] = (mask_orig != 0)
 
-    dev = dict(dx=padf(np.nan_to_num(dx)), dy=padf(np.nan_to_num(dy)),
+    dev = dict(dx=padf(np.nan_to_num(dx)),
+               dy=None if dy is None else padf(np.nan_to_num(dy)),
                valid=vpad, h1_inv=(T @ h1_inv).astype(np.float32),
                h2_inv=(T @ h2_inv).astype(np.float32),
                rpc1=rpc1_rc.astype(np.float32), rpc2=rpc2_rc.astype(np.float32),
@@ -261,13 +273,14 @@ def disp_to_xyz_batch(jobs, out_crs=None):
     results = [None] * len(jobs)
     buckets = {}
     for idx, (dev, meta) in enumerate(preps):
-        key = (dev['dx'].shape, dev['mask_orig'].shape)
+        key = (dev['dx'].shape, dev['mask_orig'].shape,
+               dev['dy'] is not None)
         buckets.setdefault(key, []).append(idx)
 
     # per-process batches shard over LOCAL devices only (each process
     # triangulates its own tile partition in a multi-host run)
     n_dev = jax.local_device_count()
-    for shape, idxs in buckets.items():
+    for (_, _, has_dy), idxs in buckets.items():
         n = len(idxs)
         n_pad = -(-n // n_dev) * n_dev
         pad_ids = idxs + [idxs[-1]] * (n_pad - n)
@@ -280,10 +293,11 @@ def disp_to_xyz_batch(jobs, out_crs=None):
                                    for f in RpcParams._fields])
             return jnp.stack(arrs)
 
-        args = (stack('dx'), stack('dy'), stack('valid'),
-                stack('h1_inv'), stack('h2_inv'), stack('rpc1'),
-                stack('rpc2'), stack('mask_orig'), stack('mask_hw'),
-                stack('spans'))
+        args = ((stack('dx'),) + ((stack('dy'),) if has_dy else ())
+                + (stack('valid'),
+                   stack('h1_inv'), stack('h2_inv'), stack('rpc1'),
+                   stack('rpc2'), stack('mask_orig'), stack('mask_hw'),
+                   stack('spans')))
         if n_dev > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel.mesh import TileMesh
@@ -291,14 +305,19 @@ def disp_to_xyz_batch(jobs, out_crs=None):
             sh = NamedSharding(mesh.mesh, P(mesh.axis))
             args = jax.tree_util.tree_map(
                 lambda a: jax.device_put(a, sh), args)
-        outs = _triangulate_grid_batch_jit()(*args)
+        outs = _triangulate_grid_batch_jit(has_dy)(*args)
         for o in outs:     # overlap the tunnel fetches of all outputs
             try:
                 o.copy_to_host_async()
             except AttributeError:
                 pass
+        # fetch each FULL output once (reusing the async copies above) and
+        # slice on the host: per-tile device slices (o[k]) would be new
+        # device arrays, each paying its own tunnel round trip -- B x 5
+        # fetches instead of 5 (the round-4 stage-5 fetch floor)
+        host_outs = [np.asarray(o) for o in outs]
         for k, idx in enumerate(idxs):
-            tile_outs = tuple(np.asarray(o[k]) for o in outs)
+            tile_outs = tuple(ho[k] for ho in host_outs)
             results[idx] = _post_triangulation(
                 tile_outs, preps[idx][1], out_crs)
     return results
