@@ -265,12 +265,12 @@ def main():
 
     t4 = bench_stage4_batch(params)
     mpixdisp_s = t4 * (448 * 512 * 80) / 1e6
+    print(json.dumps({'metric': 'stage4_batch_tiles_per_s',
+                      'value': round(t4, 3), 'unit': 'tiles/s/chip',
+                      'tile': '448x512x80'}), file=sys.stderr)
 
     try:
         t5 = bench_stage5_batch()
-        print(json.dumps({'metric': 'stage4_batch_tiles_per_s',
-                          'value': round(t4, 3), 'unit': 'tiles/s/chip',
-                          'tile': '448x512x80'}), file=sys.stderr)
         print(json.dumps({'metric': 'stage5_batch_tiles_per_s',
                           'value': round(t5, 3), 'unit': 'tiles/s/chip',
                           'tile': '448x512'}), file=sys.stderr)
@@ -306,7 +306,9 @@ def main():
                               sc['tiles_per_s_8dev']
                               / sc['tiles_per_s_1dev'], 3),
                           'tiles_per_s_1dev': round(sc['tiles_per_s_1dev'], 3),
-                          'tiles_per_s_2dev': round(sc['tiles_per_s_2dev'], 3),
+                          'tiles_per_s_2dev': None
+                          if sc['tiles_per_s_2dev'] is None
+                          else round(sc['tiles_per_s_2dev'], 3),
                           'tiles_per_s_8dev': round(sc['tiles_per_s_8dev'], 3),
                           'host_cores': ncore,
                           'note': 'virtual CPU mesh, taskset-pinned cores '

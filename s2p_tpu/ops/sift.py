@@ -1094,13 +1094,27 @@ def matches_on_rpc_roi(im1, im2, rpc1, rpc2, x, y, w, h, method='relative',
     if _use_device_sift():
         # one code path: the batch driver with a single job shares the
         # device machinery (paired detection wave, device-resident
-        # descriptor matching); pinned bitwise-equal to this host flow
-        # by test_matches_on_rpc_roi_batch_equals_single
+        # descriptor matching).  The INDEPENDENT per-pair flow survives
+        # as _matches_on_rpc_roi_independent so the batch==single
+        # pinning test compares two distinct implementations.
         return matches_on_rpc_roi_batch([dict(
             im1=im1, im2=im2, rpc1=rpc1, rpc2=rpc2, x=x, y=y, w=w, h=h,
             method=method, sift_thresh=sift_thresh,
             epipolar_threshold=epipolar_threshold,
             alt_kwargs=alt_kwargs)])[0]
+    return _matches_on_rpc_roi_independent(
+        im1, im2, rpc1, rpc2, x, y, w, h, method, sift_thresh,
+        epipolar_threshold, **alt_kwargs)
+
+
+def _matches_on_rpc_roi_independent(im1, im2, rpc1, rpc2, x, y, w, h,
+                                    method='relative', sift_thresh=0.6,
+                                    epipolar_threshold=10, **alt_kwargs):
+    """The original per-pair flow (sequential crop detections +
+    keypoints_match + retry), kept as an implementation INDEPENDENT of
+    the batch driver: the batched==single pinning test compares against
+    this, and the host (non-device) public path runs it."""
+    from ..core import estimation, rpc_geom
 
     x2, y2, w2, h2 = rpc_geom.corresponding_roi(rpc1, rpc2, x, y, w, h,
                                                 **alt_kwargs)

@@ -149,7 +149,9 @@ def test_matches_on_rpc_roi_batch_equals_single(monkeypatch):
             for (x, y) in ((150, 150), (330, 330))]
     batch = sift.matches_on_rpc_roi_batch(jobs)
     for j, mb in zip(jobs, batch):
-        ms = sift.matches_on_rpc_roi(
+        # the INDEPENDENT per-pair flow (the public entry delegates to
+        # the batch driver on device, which would be circular here)
+        ms = sift._matches_on_rpc_roi_independent(
             j['im1'], j['im2'], j['rpc1'], j['rpc2'], j['x'], j['y'],
             j['w'], j['h'], j['method'], j['sift_thresh'],
             j['epipolar_threshold'])

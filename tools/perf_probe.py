@@ -159,7 +159,7 @@ def probe_stage1_wave():
     dt = (time.perf_counter() - t0) / n
     print(json.dumps({'probe': 'stage1_wave', 's_per_4pairs': round(dt, 2),
                       'tilepairs_per_s': round(len(jobs) / dt, 3),
-                      'n_matches': [len(m) for m in ms]}), flush=True)
+                      'n_matches': [0 if m is None else len(m) for m in ms]}), flush=True)
 
 
 def probe_stage5():

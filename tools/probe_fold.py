@@ -17,7 +17,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_config(B, G, n_iter=10):
+def run_config(B, n_iter=10):
     import jax
     import jax.numpy as jnp
     from s2p_tpu.core.matching import mgm_variant_from_cfg
@@ -25,10 +25,6 @@ def run_config(B, G, n_iter=10):
     from s2p_tpu.ops.mgm_flow import mgm_binary_match_batch
 
     os.environ['S2P_TPU_LANE_FOLD'] = str(B)
-    if G:
-        os.environ['S2P_TPU_LANE_FOLD_G'] = str(G)
-    else:
-        os.environ.pop('S2P_TPU_LANE_FOLD_G', None)
     jax.clear_caches()
 
     params = mgm_variant_from_cfg(Config(roi={'x': 0, 'y': 0, 'w': 1, 'h': 1}))
@@ -56,12 +52,16 @@ def run_config(B, G, n_iter=10):
 
 
 def main():
+    # the scan row block is fixed at 8 (Mosaic: 2-D block shapes need
+    # 8-divisible rows); the fold factor is the only lever, capped by
+    # lane_fold_plan's VMEM budget (B >= 4 exceeds the 16 MiB arena on
+    # this bucket)
     baseline = None
-    for B, G in [(1, None), (4, 4), (4, 8), (2, 8), (6, 2), (6, 4), (8, 2)]:
+    for B in (1, 2, 3):
         try:
-            tps, compile_s, disp = run_config(B, G)
+            tps, compile_s, disp = run_config(B)
         except Exception as e:
-            print(json.dumps({'probe': 'fold', 'B': B, 'G': G,
+            print(json.dumps({'probe': 'fold', 'B': B,
                               'error': str(e)[:200]}), flush=True)
             continue
         if baseline is None:
@@ -69,7 +69,7 @@ def main():
             bitwise = True
         else:
             bitwise = bool(np.array_equal(baseline, disp, equal_nan=True))
-        print(json.dumps({'probe': 'fold', 'B': B, 'G': G,
+        print(json.dumps({'probe': 'fold', 'B': B,
                           'tiles_per_s': round(tps, 2),
                           'compile_s': round(compile_s, 1),
                           'bitwise_vs_unfolded': bitwise}), flush=True)
