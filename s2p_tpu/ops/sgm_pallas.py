@@ -332,8 +332,8 @@ def _wta_kernel(*refs, D, W, G, disp_min, subpix, n_parts,
         """X[d_int, x] per column via masked min (no gather)."""
         return jnp.min(jnp.where(onehot, X, big), axis=0, keepdims=True)
 
-    def subpixel(S, onehot, d_int):
-        c1 = select_at(S, onehot)
+    def subpixel(S, onehot, d_int, c1):
+        # c1 = S[d_int] is definitionally the already-computed row min
         up = jnp.concatenate([jnp.full_like(S[:1], big), S[:-1]], axis=0)
         dn = jnp.concatenate([S[1:], jnp.full_like(S[:1], big)], axis=0)
         c0 = select_at(up, onehot)
@@ -365,7 +365,7 @@ def _wta_kernel(*refs, D, W, G, disp_min, subpix, n_parts,
         mn = jnp.min(S, axis=0, keepdims=True)
         d_int = jnp.min(jnp.where(S == mn, k_ids, D), axis=0, keepdims=True)
         onehot = k_ids == d_int
-        off = subpixel(S, onehot, d_int)
+        off = subpixel(S, onehot, d_int, mn)
         if emit_offset:
             # the caller composes (base + d_int) + off so the traced-base
             # batch entry rounds bitwise like the static-base single entry
@@ -374,8 +374,7 @@ def _wta_kernel(*refs, D, W, G, disp_min, subpix, n_parts,
             disp_row = disp_min + d_int.astype(jnp.float32) + off
         if big_guard is not None:
             # no in-range candidate at all -> invalid from the start
-            c1 = select_at(S, onehot)
-            disp_row = jnp.where(c1 < big_guard, disp_row, jnp.nan)
+            disp_row = jnp.where(mn < big_guard, disp_row, jnp.nan)
         disp_ref[pl.ds(row, 1), :] = disp_row
         dint_ref[pl.ds(row, 1), :] = d_int
 
@@ -395,7 +394,7 @@ def _wta_kernel(*refs, D, W, G, disp_min, subpix, n_parts,
         S_R = jnp.where((ixr >= 0) & (ixr < W), R, big)
         mnr = jnp.min(S_R, axis=0, keepdims=True)
         kR = jnp.min(jnp.where(S_R == mnr, k_ids, D), axis=0, keepdims=True)
-        offR = subpixel(S_R, k_ids == kR, kR)
+        offR = subpixel(S_R, k_ids == kR, kR, mnr)
         dr_ref[pl.ds(row, 1), :] = -(disp_min + kR.astype(jnp.float32)
                                      + offR)
 
