@@ -7,9 +7,14 @@ aggregated volume, votes and validity mask as the portable lax path in
 ``sgm.py`` (tested against it in interpret mode), but restructured for the
 memory system of the TPU:
 
-  * the (H, W, D) float32 cost volume never touches HBM -- each kernel
-    streams the bit-packed census signatures (uint32 per pixel, ~64x
-    smaller) and rebuilds the cost rows in VMEM by XOR + popcount;
+  * the float32 cost volume never touches HBM.  The binary-faithful
+    flow builds a compact uint8 cost volume ONCE per side in a
+    parallel-grid pre-pass (_cost_prepass: XOR + popcount over cheap
+    sublane windows of the transposed signatures; 255 = out-of-range,
+    0 over reference padding) and every sequential DP step then streams
+    1-byte cost rows -- the per-row Hankel construction and popcount
+    are off the scan's critical path.  The generic aggregate() path
+    still rebuilds cost rows from signatures in-scan;
   * each scan direction's running DP row L_r lives in a VMEM scratch
     buffer that persists across sequential grid steps, so a single kernel
     invocation aggregates all same-orientation directions (3 for vertical
@@ -21,8 +26,9 @@ memory system of the TPU:
   * per-direction WTA votes (for the consensus confidence) are folded into
     the same pass.
 
-Cost-row construction differs by scan orientation because disparity always
-shifts along the original image's x axis:
+In-scan cost-row construction (the generic path) differs by scan
+orientation because disparity always shifts along the original image's x
+axis:
   * vertical scans (scan axis = y): the shifted secondary row
     s2[k, x] = sig2[y, x + dmin + k] is built from the current row by a
     log-step sequence of static lane rolls selected per sublane (a
@@ -76,9 +82,16 @@ def _scan_kernel(*refs,
                  D, W, G, n_steps, disp_min, dirs, p1, invalid_cost,
                  sig_mask, reverse, horizontal, pad, sec_len,
                  sub_cost_mult=0.0, has_allowed=False, seg_w=None,
-                 emit_votes=True, has_accum=False):
+                 emit_votes=True, has_accum=False, cost_mode=False):
     refs = list(refs)
-    if has_allowed:
+    cost_in_ref = None
+    if cost_mode:
+        # pre-computed uint8 cost rows (``_cost_prepass``): the row body
+        # skips signature loads, the Hankel construction and popcount
+        cost_in_ref, p2_ref = refs[:2]
+        del refs[:2]
+        sig1_ref = sig2_ref = allowed_ref = None
+    elif has_allowed:
         # (D, 1) int32 per-tile candidate mask (the bucket's disparity-axis
         # padding and the tile's true range; mgm_flow batch contract)
         sig1_ref, sig2_ref, p2_ref, allowed_ref = refs[:4]
@@ -117,7 +130,9 @@ def _scan_kernel(*refs,
     allowed = None
     if allowed_ref is not None:
         allowed = jnp.broadcast_to(allowed_ref[:] == 1, (D, W))
-    if not horizontal:
+    if cost_mode:
+        pass
+    elif not horizontal:
         x2 = x_ids + disp_min + k_ids
         inb = (x2 >= 0) & (x2 < sec_len)
     else:
@@ -130,10 +145,19 @@ def _scan_kernel(*refs,
     # static unroll: per-row slices stay static, Mosaic-friendly
     rows = range(G - 1, -1, -1) if reverse else range(G)
     for row in rows:
-        s1 = sig1_ref[pl.ds(row, 1), :]                    # (1, W) uint32
         p2r = p2_ref[pl.ds(row, 1), :]                     # (1, W) f32
 
-        if horizontal:
+        if cost_mode:
+            # v5e Mosaic supports neither u8->f32 casts nor 8-bit
+            # vector compares: widen to int32 first
+            ci = cost_in_ref[pl.ds(row, 1), :, :].reshape(D, W) \
+                .astype(jnp.int32)
+            cost = jnp.where(ci == 255, inv, ci.astype(jnp.float32))
+        if not cost_mode:
+            s1 = sig1_ref[pl.ds(row, 1), :]                # (1, W) uint32
+        if cost_mode:
+            pass
+        elif horizontal:
             s2b = window[row:row + D]                      # (D, W=H)
             # scan position along the original x axis; width = n_steps * G
             ix = block * G + row + disp_min + k_ids
@@ -155,18 +179,20 @@ def _scan_kernel(*refs,
             s2b = s2b[:D, :W]
             inb_r = inb
 
-        v1 = (s1 >> _VALID_BIT) & np.uint32(1)             # (1, W)
-        v2h = (s2b >> _VALID_BIT) & np.uint32(1)           # (D, W)
-        ham = _popcount((s1 ^ s2b) & sig_mask).astype(jnp.float32)
-        ok = (v1 == 1) & (v2h == 1) & inb_r
-        if allowed is not None:
-            ok = ok & allowed
-        cost = jnp.where(ok, ham, inv)
-        # reference-side padding pixels (sig1 _PAD_BIT) cost 0 at every
-        # candidate so the carry stays in the fresh-border state until
-        # the first real pixel (mgm_flow padding-exactness contract)
-        in_pad = ((s1 >> _PAD_BIT) & np.uint32(1)) == 1
-        cost = jnp.where(in_pad, 0.0, cost)
+        if not cost_mode:
+            v1 = (s1 >> _VALID_BIT) & np.uint32(1)         # (1, W)
+            v2h = (s2b >> _VALID_BIT) & np.uint32(1)       # (D, W)
+            ham = _popcount((s1 ^ s2b) & sig_mask).astype(jnp.float32)
+            ok = (v1 == 1) & (v2h == 1) & inb_r
+            if allowed is not None:
+                ok = ok & allowed
+            cost = jnp.where(ok, ham, inv)
+            # reference-side padding pixels (sig1 _PAD_BIT) cost 0 at
+            # every candidate so the carry stays in the fresh-border
+            # state until the first real pixel (padding-exactness
+            # contract); in cost_mode the pre-pass already encoded this
+            in_pad = ((s1 >> _PAD_BIT) & np.uint32(1)) == 1
+            cost = jnp.where(in_pad, 0.0, cost)
 
         # only the very first scan row of the image lacks a predecessor
         first = (pid == 0) if row == first_local else None
@@ -221,7 +247,7 @@ def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, p1,
                       invalid_cost, nbits, reverse, horizontal,
                       interpret=False, sub_cost_mult=0.0, allowed=None,
                       sec_len=None, seg_w=None, row_block=None,
-                      emit_votes=True, accum=None):
+                      emit_votes=True, accum=None, cost=None):
     """All same-orientation directions in one streaming pass.
 
     Args:
@@ -237,13 +263,19 @@ def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, p1,
     Returns:
         (S_partial (N, D, W) float32, votes (n_dirs, N, W) int32).
     """
-    N, W = sig1.shape
+    if cost is not None:
+        N, _, W = cost.shape
+    else:
+        N, W = sig1.shape
     G = _ROW_BLOCK if row_block is None else row_block
     assert N % G == 0, (N, G)
     n_steps = N // G
     n_dirs = len(dirs)
     sig_mask = np.uint32((1 << nbits) - 1)
-    if horizontal:
+    if cost is not None:
+        pad = 0
+        sec_len = 0          # unused: the pre-pass baked all masks in
+    elif horizontal:
         # the secondary scan axis may be longer than the reference's (the
         # batch rebase ships W + D extra positions); symmetric zero pad is
         # the legacy layout, trailing-margin the wide one
@@ -261,26 +293,39 @@ def _scan_pass_pallas(sig1, sig2, p2map, D, disp_min, dirs, p1,
         dirs=tuple(dirs), p1=p1, invalid_cost=invalid_cost,
         sig_mask=sig_mask, reverse=reverse, horizontal=horizontal, pad=pad,
         sec_len=sec_len, sub_cost_mult=sub_cost_mult,
-        has_allowed=allowed is not None, seg_w=seg_w,
-        emit_votes=emit_votes, has_accum=accum is not None)
+        has_allowed=cost is None and allowed is not None, seg_w=seg_w,
+        emit_votes=emit_votes, has_accum=accum is not None,
+        cost_mode=cost is not None)
 
-    if horizontal:
+    if cost is not None:
+        sig2_spec = None
+    elif horizontal:
         sig2_spec = pl.BlockSpec(memory_space=pltpu.VMEM)   # full array
     else:
         sig2_spec = pl.BlockSpec((G, sig2.shape[1]), lambda i: (idx(i), 0),
                                  memory_space=pltpu.VMEM)
 
-    in_specs = [
-        pl.BlockSpec((G, W), lambda i: (idx(i), 0),
-                     memory_space=pltpu.VMEM),
-        sig2_spec,
-        pl.BlockSpec((G, W), lambda i: (idx(i), 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    operands = [sig1, sig2, p2map]
-    if allowed is not None:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        operands.append(allowed)
+    if cost is not None:
+        # pre-computed uint8 cost rows: (G, D, W) blocks + the p2 rows
+        in_specs = [
+            pl.BlockSpec((G, D, W), lambda i: (idx(i), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, W), lambda i: (idx(i), 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [cost, p2map]
+    else:
+        in_specs = [
+            pl.BlockSpec((G, W), lambda i: (idx(i), 0),
+                         memory_space=pltpu.VMEM),
+            sig2_spec,
+            pl.BlockSpec((G, W), lambda i: (idx(i), 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [sig1, sig2, p2map]
+        if allowed is not None:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            operands.append(allowed)
     io_aliases = {}
     if accum is not None:
         in_specs.append(pl.BlockSpec((G, D, W), lambda i: (idx(i), 0, 0),
@@ -426,6 +471,77 @@ def _wta_pallas(parts, disp_min, subpix, interpret=False, big_guard=None,
         ],
         interpret=interpret,
     )(*parts)
+
+
+def _cost_prepass_kernel(sig1_ref, sig2_ref, cost_ref, *,
+                         D, W, G, n_steps, disp_min, sig_mask, pad,
+                         sec_len, allowed_ref=None):
+    """Parallel pre-pass: uint8 census cost rows in the TRANSPOSED
+    (scan axis = x) layout, built with the cheap sublane-window trick.
+
+    Encoding (decoded exactly by the scan kernels): hamming distance
+    0..nbits for admissible candidates, 255 for out-of-range/disallowed
+    (-> invalid_cost), 0 over reference-side padding (the fresh-border
+    zero-cost contract).  Computing this ONCE removes the per-row
+    Hankel construction + popcount from every sequential DP step."""
+    pid = pl.program_id(0)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (D, W), 0)
+    base = pl.multiple_of(pid * G + disp_min + pad, G)
+    window = sig2_ref[pl.ds(base, D + G), :]               # (D+G, W=H)
+    allowed = None
+    if allowed_ref is not None:
+        allowed = jnp.broadcast_to(allowed_ref[:] == 1, (D, W))
+    for row in range(G):
+        s1 = sig1_ref[pl.ds(row, 1), :]
+        s2b = window[row:row + D]
+        ix = pid * G + row + disp_min + k_ids
+        inb = (ix >= 0) & (ix < sec_len)
+        v1 = (s1 >> _VALID_BIT) & np.uint32(1)
+        v2h = (s2b >> _VALID_BIT) & np.uint32(1)
+        ham = _popcount((s1 ^ s2b) & sig_mask)
+        ok = (v1 == 1) & (v2h == 1) & inb
+        if allowed is not None:
+            ok = ok & allowed
+        c = jnp.where(ok, ham, 255)
+        in_pad = ((s1 >> _PAD_BIT) & np.uint32(1)) == 1
+        c = jnp.where(in_pad, 0, c)
+        cost_ref[pl.ds(row, 1), :, :] = c.astype(jnp.uint8) \
+            .reshape(1, D, W)
+
+
+def _cost_prepass(s1t, s2tp, D, disp_min, nbits, pad, sec_len,
+                  allowed=None, interpret=False):
+    """(N, D, lanes) uint8 cost volume in the transposed layout."""
+    N, L = s1t.shape
+    G = _ROW_BLOCK
+    assert N % G == 0
+    kernel = functools.partial(
+        _cost_prepass_kernel, D=D, W=L, G=G, n_steps=N // G,
+        disp_min=disp_min, sig_mask=np.uint32((1 << nbits) - 1), pad=pad,
+        sec_len=sec_len)
+    in_specs = [
+        pl.BlockSpec((G, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [s1t, s2tp]
+    if allowed is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(allowed)
+
+        def body(s1_ref, s2_ref, al_ref, cost_ref):
+            kernel(s1_ref, s2_ref, cost_ref, allowed_ref=al_ref)
+    else:
+        def body(s1_ref, s2_ref, cost_ref):
+            kernel(s1_ref, s2_ref, cost_ref)
+    return pl.pallas_call(
+        body,
+        grid=(N // G,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((G, D, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, D, L), jnp.uint8),
+        interpret=interpret,
+    )(*operands)
 
 
 def _pack(sig, valid):
@@ -631,23 +747,28 @@ def flow_partials_from_sigs(s1, s2, disp_min: int, D: int, variant,
 
     wide = s2.shape[1] > s1.shape[1]     # batch rebase: W2 = W + margin
     assert not wide or disp_min == 0
-    s1t = s2tp = p2t = None
-    h_sec_len = None
-    if 'hf' in passes or 'hb' in passes:
-        s1t, p2t = s1.T, p2map.T
-        if wide:
-            s2tp = s2.T                  # trailing margin, no extra pad
-            h_sec_len = s2.shape[1]
-        else:
-            G = _ROW_BLOCK
-            pad = max(0, -disp_min, disp_min + D)
-            pad += (-(disp_min + pad)) % G
-            s2tp = jnp.pad(s2.T, ((pad, pad), (0, 0)))
+    # the uint8 cost volume is built ONCE in the transposed layout (the
+    # cheap sublane-window construction) and streamed by all four scans:
+    # the sequential DP steps lose the per-row Hankel rolls + popcount
+    s1t, p2t = s1.T, p2map.T
+    if wide:
+        s2tp = s2.T                      # trailing margin, no extra pad
+        h_sec_len = s2.shape[1]
+        pad = 0
+    else:
+        G = _ROW_BLOCK
+        pad = max(0, -disp_min, disp_min + D)
+        pad += (-(disp_min + pad)) % G
+        s2tp = jnp.pad(s2.T, ((pad, pad), (0, 0)))
+        h_sec_len = s1t.shape[0]
+    cost_h = _cost_prepass(s1t, s2tp, D, disp_min, nbits, pad, h_sec_len,
+                           allowed=allowed, interpret=interpret)
+    cost_v = jnp.transpose(cost_h, (2, 1, 0))          # (H, D, W)
 
     run = functools.partial(_scan_pass_pallas, D=D, disp_min=disp_min,
                             p1=variant.p1, invalid_cost=float(BIG),
                             nbits=nbits, interpret=interpret,
-                            allowed=allowed, emit_votes=emit_votes)
+                            emit_votes=emit_votes)
 
     S_v = S_h = None
     votes = [None] * len(dirs)
@@ -658,15 +779,16 @@ def flow_partials_from_sigs(s1, s2, disp_min: int, D: int, variant,
             kw['sub_cost_mult'] = sub
             sub = 0.0            # exactly one pass applies the fix
         if key in ('vf', 'vb'):
-            Sp, v = run(s1, s2, p2map, dirs=lats, reverse=(key == 'vb'),
-                        horizontal=False, accum=S_v, **kw)
+            Sp, v = run(None, None, p2map, dirs=lats,
+                        reverse=(key == 'vb'), horizontal=False,
+                        accum=S_v, cost=cost_v, **kw)
             S_v = Sp
             for j, i in enumerate(dir_idx):
                 votes[i] = v[j] if v is not None else None
         else:
-            Sp, v = run(s1t, s2tp, p2t, dirs=lats, reverse=(key == 'hb'),
-                        horizontal=True, sec_len=h_sec_len, accum=S_h,
-                        **kw)
+            Sp, v = run(None, None, p2t, dirs=lats,
+                        reverse=(key == 'hb'), horizontal=True,
+                        accum=S_h, cost=cost_h, **kw)
             S_h = Sp
             for j, i in enumerate(dir_idx):
                 votes[i] = v[j].T if v is not None else None
