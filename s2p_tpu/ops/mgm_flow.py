@@ -619,6 +619,16 @@ def mgm_binary_match_batch(im1_b, im2_b, disp_min_b, D: int,
     if d_b is None:
         d_b = jnp.full(jnp.asarray(disp_min_b).shape, D)
 
+    # the confidence map is consensus/n_votes with consensus in 0..8:
+    # ship it across the tunnel as uint8 counts (confidence_u8); the
+    # driver reconstructs count/n in f32 -- the identical IEEE division
+    # the device performs -- at 1/4 the fetched bytes
+    nv = max(2, min(variant.nb_dir, 8))
+
+    def finish(out):
+        out['confidence_u8'] = (out['confidence'] * nv).astype(jnp.uint8)
+        return out
+
     args = (im1_b, im2_b,
             jnp.asarray(disp_min_b, jnp.int32),
             jnp.asarray(h_b, jnp.int32),
@@ -650,15 +660,16 @@ def mgm_binary_match_batch(im1_b, im2_b, disp_min_b, D: int,
             folded = jax.tree.map(
                 lambda x: x.reshape((m * Bf,) + x.shape[2:]), folded)
             if r == 0:
-                return folded
+                return finish(folded)
             tail = jax.vmap(one)(*(a[m * Bf:] for a in args))
-            return jax.tree.map(
-                lambda x, y: jnp.concatenate([x, y], axis=0), folded, tail)
+            return finish(jax.tree.map(
+                lambda x, y: jnp.concatenate([x, y], axis=0), folded,
+                tail))
     else:
         def one(a, b, dm, h1, w1, w2, dt):
             d, c = _flow_core(a, b, dm, D, variant, h1, w1, w2, d_true=dt)
             return {'disp': d, 'confidence': c}
-    return jax.vmap(one)(*args)
+    return finish(jax.vmap(one)(*args))
 
 
 # --------------------------------------------------------------------- #

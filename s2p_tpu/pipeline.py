@@ -500,7 +500,13 @@ def stereo_matching_all(cfg: Config, tiles_pairs, timeout=600):
             out = mgm_binary_match_batch(b1, b2, dmins, int(Dp),
                                          h_b, w1_b, w2_b, d_b, variant)
         disp_b = np.asarray(out['disp'])
-        conf_b = np.asarray(out['confidence'])
+        if 'confidence_u8' in out:
+            # uint8 consensus counts -> the device's exact f32 division
+            nv = max(2, min(variant.nb_dir, 8))
+            conf_b = (np.asarray(out['confidence_u8']).astype(np.float32)
+                      / np.float32(nv))
+        else:
+            conf_b = np.asarray(out['confidence'])
         for k, j in enumerate(group):
             h, w = j['rect1'].shape
             disp = disp_b[k, :h, :w]

@@ -57,6 +57,20 @@ def test_batched_padded_equals_unpadded_bitwise():
         assert same.all()
 
 
+def test_confidence_u8_transport_bitwise():
+    """The uint8 consensus-count transport reconstructs the device's f32
+    confidence exactly (count/n is the same IEEE division)."""
+    im1, im2 = _synthetic_pair(H=48, W=64, d=2.0)
+    b1 = np.stack([im1, im1])
+    b2 = np.stack([im2, im2])
+    out = mf.mgm_binary_match_batch(
+        jnp.asarray(b1), jnp.asarray(b2), [-2, -2], 8,
+        [48, 48], [64, 64], [64, 64], [8, 8], mf.MgmVariant())
+    rec = (np.asarray(out['confidence_u8']).astype(np.float32)
+           / np.float32(8))
+    assert np.array_equal(rec, np.asarray(out['confidence']))
+
+
 def test_lr_nan_survival_and_landing():
     """leftright_test semantics: out-of-image landing dies, NaN at the
     landing survives, |dL+dR|>tau dies."""
