@@ -304,10 +304,14 @@ def _use_pallas_flow(im1, im2, disp_min, D, v: MgmVariant,
         want = False
     static = all(x is None or isinstance(x, (int, np.integer))
                  for x in (disp_min, h1, w1, w2, d_true))
+    from .sgm_pallas import scan_vmem_plan
     return (want and static and v.tsgm == 1
             and v.census_win ** 2 - 1 <= 32
             and im1.shape == im2.shape
-            and im1.shape[0] % 8 == 0 and im1.shape[1] % 8 == 0)
+            and im1.shape[0] % 8 == 0 and im1.shape[1] % 8 == 0
+            # huge buckets (large D x lanes) exceed the VMEM arena and
+            # hard-crash the remote compiler: lax path instead
+            and scan_vmem_plan(im1.shape[0], im1.shape[1], D)[0])
 
 
 def _mgm_one_side(im1, im2, disp_min, D: int, v: MgmVariant,
@@ -598,8 +602,12 @@ def _use_pallas_batch(im1_b, D: int, v: MgmVariant) -> bool:
         want = jax.default_backend() == 'tpu'
     else:
         want = False
+    from .sgm_pallas import scan_vmem_plan
+    # the rebased batch widens the secondary to W + D
     return (want and v.tsgm == 1 and v.census_win ** 2 - 1 <= 24
-            and im1_b.shape[1] % 8 == 0 and im1_b.shape[2] % 8 == 0)
+            and im1_b.shape[1] % 8 == 0 and im1_b.shape[2] % 8 == 0
+            and scan_vmem_plan(im1_b.shape[1],
+                               im1_b.shape[2] + D, D)[0])
 
 
 @functools.partial(jax.jit, static_argnames=('D', 'variant'))

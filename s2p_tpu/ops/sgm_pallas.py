@@ -747,6 +747,8 @@ def flow_partials_from_sigs(s1, s2, disp_min: int, D: int, variant,
 
     wide = s2.shape[1] > s1.shape[1]     # batch rebase: W2 = W + margin
     assert not wide or disp_min == 0
+    fits, use_prepass, use_accum = scan_vmem_plan(H, W, D)
+    assert fits, 'caller must gate on scan_vmem_plan (use the lax path)'
     # the uint8 cost volume is built ONCE in the transposed layout (the
     # cheap sublane-window construction) and streamed by all four scans:
     # the sequential DP steps lose the per-row Hankel rolls + popcount
@@ -761,9 +763,13 @@ def flow_partials_from_sigs(s1, s2, disp_min: int, D: int, variant,
         pad += (-(disp_min + pad)) % G
         s2tp = jnp.pad(s2.T, ((pad, pad), (0, 0)))
         h_sec_len = s1t.shape[0]
-    cost_h = _cost_prepass(s1t, s2tp, D, disp_min, nbits, pad, h_sec_len,
-                           allowed=allowed, interpret=interpret)
-    cost_v = jnp.transpose(cost_h, (2, 1, 0))          # (H, D, W)
+    if use_prepass:
+        cost_h = _cost_prepass(s1t, s2tp, D, disp_min, nbits, pad,
+                               h_sec_len, allowed=allowed,
+                               interpret=interpret)
+        cost_v = jnp.transpose(cost_h, (2, 1, 0))      # (H, D, W)
+    else:
+        cost_h = cost_v = None
 
     run = functools.partial(_scan_pass_pallas, D=D, disp_min=disp_min,
                             p1=variant.p1, invalid_cost=float(BIG),
@@ -779,17 +785,25 @@ def flow_partials_from_sigs(s1, s2, disp_min: int, D: int, variant,
             kw['sub_cost_mult'] = sub
             sub = 0.0            # exactly one pass applies the fix
         if key in ('vf', 'vb'):
-            Sp, v = run(None, None, p2map, dirs=lats,
+            Sp, v = run(s1 if cost_v is None else None,
+                        s2 if cost_v is None else None, p2map, dirs=lats,
                         reverse=(key == 'vb'), horizontal=False,
-                        accum=S_v, cost=cost_v, **kw)
-            S_v = Sp
+                        allowed=None if use_prepass else allowed,
+                        accum=S_v if use_accum else None, cost=cost_v,
+                        **kw)
+            S_v = Sp if (use_accum or S_v is None) else S_v + Sp
             for j, i in enumerate(dir_idx):
                 votes[i] = v[j] if v is not None else None
         else:
-            Sp, v = run(None, None, p2t, dirs=lats,
+            Sp, v = run(s1t if cost_h is None else None,
+                        s2tp if cost_h is None else None, p2t, dirs=lats,
                         reverse=(key == 'hb'), horizontal=True,
-                        accum=S_h, cost=cost_h, **kw)
-            S_h = Sp
+                        sec_len=h_sec_len if cost_h is None and wide
+                        else None,
+                        allowed=None if use_prepass else allowed,
+                        accum=S_h if use_accum else None, cost=cost_h,
+                        **kw)
+            S_h = Sp if (use_accum or S_h is None) else S_h + Sp
             for j, i in enumerate(dir_idx):
                 votes[i] = v[j].T if v is not None else None
 
@@ -855,6 +869,45 @@ def flow_one_side_pallas(im1, im2, disp_min, D, variant, p2map=None,
 #   * the fold factor is VMEM-bound: the dominant block is the S-partial
 #     output window (G*D*4 bytes per lane, double-buffered), so the row
 #     block G shrinks as B grows (lane_fold_plan).
+
+
+def scan_vmem_plan(H, W, D, n_dirs_v=3, vmem_budget=None):
+    """(fits, use_prepass, use_accum) for the flow's scan passes under
+    the VMEM budget.
+
+    The S-output window (2*G*D*4 bytes/lane, double-buffered) is fixed;
+    the optional uint8 cost-prepass input (2*G*D) and the aliased
+    accumulator input (2*G*D*4) are dropped in that order when a big
+    bucket (large D x lanes) would exceed the arena; if even the base
+    configuration does not fit, the caller must use the lax path --
+    Mosaic hard-crashes (remote-compile HTTP 500) rather than erroring
+    cleanly on VMEM exhaustion."""
+    import os
+    G = _ROW_BLOCK
+    budget = vmem_budget or int(os.environ.get('S2P_TPU_VMEM_BUDGET',
+                                               12 * 2 ** 20))
+    lanes = max(H, W)
+
+    def fits(prepass, accum):
+        b = 2 * G * D * 4                 # S out, double-buffered
+        b += 2 * n_dirs_v * G * 4         # votes out
+        b += n_dirs_v * D * 4             # DP carries
+        b += 2 * G * 4                    # p2 rows
+        if prepass:
+            b += 2 * G * D                # uint8 cost rows
+        else:
+            # signature rows + the full transposed secondary resident
+            # during horizontal passes
+            b += 3 * 2 * G * 4 + (max(H, W) + 2 * D) * 4
+        if accum:
+            b += 2 * G * D * 4
+        return b * lanes <= budget
+
+    for prepass, accum in ((True, True), (True, False), (False, False)):
+        if fits(prepass, accum):
+            return True, prepass, accum
+    return False, False, False
+
 
 def lane_fold_plan(H, W, D, n_dirs_v=3, vmem_budget=None):
     """(fold B, scan row-block G, WTA presum flag, segment width) for a
