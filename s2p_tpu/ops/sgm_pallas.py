@@ -104,13 +104,11 @@ def _scan_kernel(*refs,
     S_ref = refs.pop(0)
     votes_ref = refs.pop(0) if emit_votes else None
     carries = refs
-    """One grid step: G scan rows through all ``dirs`` DP recursions.
-
-    For vertical passes, W is the image width (lane axis = x, the disparity
-    shift axis).  For horizontal passes the signatures are transposed: the
-    lane axis is y, the scan axis is x, and sig2_ref is the full padded
-    transposed signature held in VMEM.
-    """
+    # One grid step: G scan rows through all ``dirs`` DP recursions.
+    # For vertical passes, W is the image width (lane axis = x, the
+    # disparity shift axis).  For horizontal passes the signatures are
+    # transposed: the lane axis is y, the scan axis is x, and sig2_ref
+    # is the full padded transposed signature held in VMEM.
     pid = pl.program_id(0)
     block = (n_steps - 1 - pid) if reverse else pid
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (D, W), 0)
